@@ -1,0 +1,15 @@
+from .activations import ACTIVATIONS
+from .dropout import (BernoulliDropoutSpec, ConcreteDropoutSpec, bdropout,
+                      cdropout)
+from .mlp import MLPSpec
+from .densities import (DiagGaussianDensity, GaussianMixtureDensity,
+                        CategoricalDensity, TanhSquashedDensity)
+from .regressor import (Regressor, Policy, DynamicsModel, fit_stats,
+                        init_stats)
+
+__all__ = [
+    'ACTIVATIONS', 'BernoulliDropoutSpec', 'ConcreteDropoutSpec', 'bdropout',
+    'cdropout', 'MLPSpec', 'DiagGaussianDensity', 'GaussianMixtureDensity',
+    'CategoricalDensity', 'TanhSquashedDensity', 'Regressor', 'Policy',
+    'DynamicsModel', 'fit_stats', 'init_stats',
+]

@@ -1,0 +1,176 @@
+"""Dropout-regularized MLPs as pure init/apply functions.
+
+TPU-first redesign of the reference MLP factory + BSequential container
+(`prob_mbrl/models/core.py:15-99`, `prob_mbrl/models/modules.py:198-274`).
+
+Per hidden layer: Linear -> [LayerNorm] -> nonlin -> [Dropout]; optional input
+dropout; final Linear projection. Regularization pairs each dropout with the
+*next* Linear's weights (Gal & Ghahramani: the dropout preceding a weight
+matrix regularizes that matrix) — input dropout regularizes the first Linear,
+the dropout after hidden layer i regularizes Linear i+1, the last hidden
+dropout regularizes the output Linear. This mirrors the reference's
+``BSequential.regularization_loss`` pairing (`modules.py:248-268`).
+
+Everything is shape-static and batch-polymorphic: ``apply`` maps
+[..., input_dims] -> [..., output_dims]; dropout noise must carry matching
+batch dims (per-particle masks are just noise with a leading particle axis).
+
+Matmuls hit the MXU; ``compute_dtype`` lets callers run the linear layers in
+bfloat16 while keeping parameters and reductions in float32.
+"""
+import dataclasses
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from . import activations as act_lib
+from .dropout import BernoulliDropoutSpec, ConcreteDropoutSpec, DropoutSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class MLPSpec:
+    input_dims: int
+    output_dims: int
+    hidden_dims: Tuple[int, ...] = (200, 200)
+    nonlin: Union[str, Tuple[str, ...]] = 'relu'
+    output_nonlin: Optional[str] = None
+    dropout: Union[Optional[DropoutSpec],
+                   Tuple[Optional[DropoutSpec], ...]] = None
+    input_dropout: Optional[DropoutSpec] = None
+    layer_norm: bool = False
+    hidden_biases: bool = True
+    output_biases: bool = True
+    weight_gain: float = 1.4142135623730951  # relu gain, sqrt(2)
+    bias_init_scale: float = 0.1  # uniform(-scale, scale)
+    compute_dtype: Optional[str] = None  # e.g. 'bfloat16' for MXU-friendly math
+
+    def __post_init__(self):
+        object.__setattr__(self, 'hidden_dims', tuple(self.hidden_dims))
+        n = len(self.hidden_dims)
+        nl = self.nonlin
+        if isinstance(nl, str) or callable(nl):
+            nl = (nl,) * n
+        object.__setattr__(self, 'nonlin', tuple(nl))
+        dp = self.dropout
+        if dp is None or isinstance(dp, (BernoulliDropoutSpec,
+                                         ConcreteDropoutSpec)):
+            dp = (dp,) * n
+        object.__setattr__(self, 'dropout', tuple(dp))
+
+    # ---- init -------------------------------------------------------------
+    def init(self, key, dtype=jnp.float32):
+        """Initialize parameters: xavier-normal weights (relu gain), uniform biases.
+
+        Matches the reference initializers (`core.py:20-22`).
+        """
+        dims = (self.input_dims,) + self.hidden_dims
+        params = {}
+        n_layers = len(self.hidden_dims) + 1
+        keys = jax.random.split(key, 2 * n_layers + len(self.hidden_dims) + 1)
+        ki = iter(range(len(keys)))
+
+        def linear(kw, kb, din, dout, bias):
+            std = self.weight_gain * jnp.sqrt(2.0 / (din + dout))
+            p = {'w': std * jax.random.normal(keys[kw], (din, dout), dtype)}
+            if bias:
+                p['b'] = jax.random.uniform(
+                    keys[kb], (dout,), dtype,
+                    -self.bias_init_scale, self.bias_init_scale)
+            return p
+
+        if self.input_dropout is not None:
+            params['drop_in'] = self.input_dropout.init(self.input_dims, dtype)
+        for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+            params[f'linear_{i}'] = linear(next(ki), next(ki), din, dout,
+                                           self.hidden_biases)
+            if self.layer_norm:
+                params[f'ln_{i}'] = {'scale': jnp.ones((dout,), dtype),
+                                     'bias': jnp.zeros((dout,), dtype)}
+            if self.dropout[i] is not None:
+                params[f'drop_{i}'] = self.dropout[i].init(dout, dtype)
+        params['linear_out'] = linear(next(ki), next(ki), dims[-1],
+                                      self.output_dims, self.output_biases)
+        return params
+
+    # ---- noise ------------------------------------------------------------
+    def sample_noise(self, key, batch_shape, dtype=jnp.float32):
+        """Sample the dropout noise pytree for a given batch shape.
+
+        Reusing the returned pytree across calls reproduces the reference's
+        persistent-mask semantics (PEGASUS); sampling from a fresh key is
+        ``resample()``.
+        """
+        noise = {}
+        n = len(self.hidden_dims) + 1
+        keys = jax.random.split(key, n)
+        if self.input_dropout is not None:
+            noise['drop_in'] = self.input_dropout.sample_noise(
+                keys[-1], batch_shape, self.input_dims, dtype)
+        for i, (spec, width) in enumerate(zip(self.dropout, self.hidden_dims)):
+            if spec is not None:
+                noise[f'drop_{i}'] = spec.sample_noise(
+                    keys[i], batch_shape, width, dtype)
+        return noise
+
+    # ---- forward ----------------------------------------------------------
+    def apply(self, params, x, noise=None, train=False):
+        """Forward pass. ``noise=None`` disables dropout (deterministic mean net)."""
+        cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+
+        def linear(p, h):
+            w, b = p['w'], p.get('b')
+            if cdt is not None:
+                h = jnp.dot(h.astype(cdt), w.astype(cdt),
+                            preferred_element_type=jnp.float32)
+            else:
+                h = jnp.dot(h, w)
+            if b is not None:
+                h = h + b
+            return h
+
+        h = x
+        if self.input_dropout is not None and noise is not None:
+            h = self.input_dropout.apply(params.get('drop_in', {}),
+                                         noise['drop_in'], h, train)
+        for i, width in enumerate(self.hidden_dims):
+            h = linear(params[f'linear_{i}'], h)
+            if self.layer_norm:
+                ln = params[f'ln_{i}']
+                mu = jnp.mean(h, -1, keepdims=True)
+                var = jnp.var(h, -1, keepdims=True)
+                h = (h - mu) * jax.lax.rsqrt(var + 1e-5)
+                h = h * ln['scale'] + ln['bias']
+            h = act_lib.get(self.nonlin[i])(h)
+            spec = self.dropout[i]
+            if spec is not None and noise is not None:
+                h = spec.apply(params.get(f'drop_{i}', {}),
+                               noise[f'drop_{i}'], h, train)
+        h = linear(params['linear_out'], h)
+        if self.output_nonlin is not None:
+            h = act_lib.get(self.output_nonlin)(h)
+        return h
+
+    # ---- regularization ---------------------------------------------------
+    def regularization_loss(self, params):
+        """Sum of dropout regularizers, each paired with the next Linear."""
+        reg = 0.0
+        n_hidden = len(self.hidden_dims)
+
+        def next_linear(i):
+            # dropout after hidden layer i regularizes linear i+1 (or out)
+            name = f'linear_{i + 1}' if i + 1 < n_hidden + 1 else 'linear_out'
+            if i + 1 == n_hidden:
+                name = 'linear_out'
+            p = params[name]
+            return p['w'], p.get('b')
+
+        if self.input_dropout is not None:
+            w, b = params['linear_0']['w'], params['linear_0'].get('b')
+            reg = reg + self.input_dropout.regularizer(
+                params.get('drop_in', {}), w, b)
+        for i, spec in enumerate(self.dropout):
+            if spec is not None:
+                w, b = next_linear(i)
+                reg = reg + spec.regularizer(params.get(f'drop_{i}', {}), w, b)
+        return reg

@@ -1,0 +1,153 @@
+"""Imagined-trajectory rollout engine: ``lax.scan`` over time, particles in
+lockstep.
+
+TPU-first redesign of the reference rollout (`prob_mbrl/utils/rollout.py:62-163`).
+The reference runs a Python loop over time with mutable mask buffers and
+try/except around Cholesky failures; here the whole horizon is one
+``lax.scan`` under jit, PEGASUS noise is an explicit pytree argument, and
+Cholesky failures are handled by in-graph jitter escalation
+(``ops.math.safe_cholesky``).
+
+Per step (matching `rollout.py:93-153`):
+  1. policy eval: actions = pol(states) (sampled, tanh-squashed)
+  2. dynamics eval: next_states, rewards = dyn(states, actions) (sampled)
+  3. optional moment-matching resample of next_states and rewards against the
+     cyclically-indexed fixed noise z_mm / z_rr (PEGASUS,
+     `rollout.py:53-59,96-97`)
+
+Outputs are stacked arrays: states [T+1, B, D], actions [T, B, U],
+rewards [T, B, 1] — the reference returns lists with the same layout.
+
+Non-PEGASUS mode (fresh state/action noise each step) pre-samples a
+[T, ...]-leading noise pytree and feeds it through the scan's xs, so the
+compiled program stays shape-static.
+"""
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import moment_matching as mm
+
+
+def get_z_rnd(z, i, batch):
+    """Cyclic indexing of fixed noise (`rollout.py:53-59`).
+
+    Matches the reference quirk: indices wrap modulo the *batch size*, not the
+    noise buffer length, so only the first ``batch`` rows are ever used.
+    """
+    idxs = (i + jnp.arange(batch)) % batch
+    return z[idxs]
+
+
+def _mm_step(x, z, mm_groups, infer_noise_variables, jitter=1e-12):
+    fn = (mm.mm_resample_infer_ns if infer_noise_variables
+          else mm.mm_resample)
+    if mm_groups is not None:
+        return mm.grouped(fn, x, z, mm_groups, jitter)
+    return fn(x, z, jitter)
+
+
+def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
+            dyn_noise, pol_noise,
+            mm_states=False, mm_rewards=False, infer_noise_variables=False,
+            z_mm=None, z_rr=None, mm_groups=None,
+            resample_state_noise=False, resample_action_noise=False,
+            key=None, value_fn=None):
+    """Roll imagined particles through the learned dynamics under the policy.
+
+    Args:
+      x0: [B, D] initial particle states.
+      dyn: ``models.DynamicsModel`` spec.
+      pol: ``models.Policy`` spec.
+      steps: horizon T (static).
+      dyn_params/dyn_stats: dynamics parameters and normalization stats.
+      pol_params: policy parameters.
+      dyn_noise/pol_noise: PEGASUS noise pytrees with batch dim B (dropout
+        masks + density noise). Reuse across calls = fixed random numbers.
+      mm_states/mm_rewards: moment-matching resample toggles.
+      infer_noise_variables: use the particle-identity-preserving MM kernel.
+      z_mm: [>=B, D] fixed MM noise for states; required if mm_states.
+      z_rr: [>=B, 1] fixed MM noise for rewards; required if mm_rewards.
+      mm_groups: number of independent MM groups (None = all particles).
+      resample_state_noise / resample_action_noise: draw fresh *density* noise
+        each step (non-PEGASUS propagation). Requires ``key``.
+      key: PRNG key for per-step noise when resampling.
+      value_fn: optional jittable closure ``states [B, D] -> values [B, 1]``
+        (a Regressor.apply partial-ed with its params/stats/noise). When
+        given, per-step V(s) samples are returned too, matching
+        ``rollout_with_values`` (`rollout.py:166-227`).
+
+    Returns:
+      (states [T+1, B, D], actions [T, B, U], rewards [T, B, 1]) and, when
+      ``value_fn`` is given, values [T+1, B, 1] appended as a 4th element.
+    """
+    B = x0.shape[0]
+
+    # pre-sample per-step density noise for non-PEGASUS propagation
+    def per_step_density(sample_fn, subkey):
+        keys = jax.random.split(subkey, steps)
+        return jax.vmap(lambda k: sample_fn(k, (B,))['density'])(keys)
+
+    xs = {'t': jnp.arange(steps)}
+    if resample_state_noise or resample_action_noise:
+        assert key is not None, 'key required when resampling noise per step'
+        kd, kp = jax.random.split(key)
+        if resample_state_noise:
+            xs['dyn_density'] = per_step_density(dyn.sample_noise, kd)
+        if resample_action_noise and 'density' in pol_noise:
+            xs['pol_density'] = per_step_density(pol.sample_noise, kp)
+
+    def step(states, step_xs):
+        t = step_xs['t']
+        d_noise = dict(dyn_noise)
+        p_noise = dict(pol_noise)
+        if 'dyn_density' in step_xs:
+            d_noise['density'] = step_xs['dyn_density']
+        if 'pol_density' in step_xs:
+            p_noise['density'] = step_xs['pol_density']
+
+        actions = pol.apply(pol_params, states, p_noise, return_samples=True)
+        next_states, rewards = dyn.apply(
+            dyn_params, dyn_stats, states, actions, d_noise,
+            return_samples=True, separate_outputs=True, deltas=False)
+
+        if mm_states:
+            z1 = get_z_rnd(z_mm, t, B)
+            next_states = _mm_step(next_states, z1, mm_groups,
+                                   infer_noise_variables)
+        if mm_rewards:
+            z2 = get_z_rnd(z_rr, t, B)
+            rewards = _mm_step(rewards, z2, mm_groups, infer_noise_variables)
+
+        out = {'states': states, 'actions': actions, 'rewards': rewards}
+        if value_fn is not None:
+            out['values'] = value_fn(jax.lax.stop_gradient(states))
+        return next_states, out
+
+    last_states, traj = jax.lax.scan(step, x0, xs)
+    states = jnp.concatenate([traj['states'], last_states[None]], 0)
+    result = [states, traj['actions'], traj['rewards']]
+    if value_fn is not None:
+        v_last = value_fn(last_states)
+        result.append(jnp.concatenate([traj['values'], v_last[None]], 0))
+    return tuple(result)
+
+
+def make_rollout_fn(dyn, pol, steps, mm_states=False, mm_rewards=False,
+                    infer_noise_variables=False, mm_groups=None,
+                    resample_state_noise=False, resample_action_noise=False):
+    """Build a jittable rollout closure with static config baked in."""
+
+    def fn(x0, dyn_params, dyn_stats, pol_params, dyn_noise, pol_noise,
+           z_mm=None, z_rr=None, key=None):
+        return rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
+                       dyn_noise, pol_noise, mm_states=mm_states,
+                       mm_rewards=mm_rewards,
+                       infer_noise_variables=infer_noise_variables,
+                       z_mm=z_mm, z_rr=z_rr, mm_groups=mm_groups,
+                       resample_state_noise=resample_state_noise,
+                       resample_action_noise=resample_action_noise, key=key)
+
+    return fn

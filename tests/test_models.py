@@ -1,0 +1,314 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from prob_mbrl_tpu import models
+from prob_mbrl_tpu.models.dropout import bdropout, cdropout
+
+
+class TestBDropout:
+    spec = bdropout(rate=0.3)
+
+    def test_mask_statistics_and_scaling(self):
+        key = jax.random.PRNGKey(0)
+        noise = self.spec.sample_noise(key, (2048,), 64)
+        x = jnp.ones((2048, 64))
+        y = self.spec.apply({}, noise, x)
+        vals = np.unique(np.round(np.asarray(y), 5))
+        # inverted dropout: values are 0 or 1/p
+        np.testing.assert_allclose(sorted(vals), [0.0, 1.0 / 0.7], rtol=1e-4)
+        keep_frac = (np.asarray(y) > 0).mean()
+        assert abs(keep_frac - 0.7) < 0.02
+
+    def test_noise_reuse_is_deterministic(self):
+        key = jax.random.PRNGKey(1)
+        noise = self.spec.sample_noise(key, (4,), 8)
+        x = jax.random.normal(jax.random.PRNGKey(2), (4, 8))
+        y1 = self.spec.apply({}, noise, x)
+        y2 = self.spec.apply({}, noise, x)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    def test_regularizer(self):
+        w = jnp.ones((3, 4))
+        b = jnp.ones((4,))
+        reg = self.spec.regularizer({}, w, b)
+        want = 0.5 * (0.7 * 12.0) + 0.5 * 4.0
+        np.testing.assert_allclose(float(reg), want, rtol=1e-5)
+
+
+class TestCDropout:
+    spec = cdropout(rate=0.4)
+
+    def test_mask_binary_and_rate(self):
+        params = self.spec.init(64)
+        noise = self.spec.sample_noise(jax.random.PRNGKey(0), (2048,), 64)
+        x = jnp.ones((2048, 64))
+        y = self.spec.apply(params, noise, x, train=False)
+        vals = np.unique(np.asarray(y))
+        assert set(np.round(vals, 5)).issubset({0.0, 1.0})
+        keep_frac = (np.asarray(y) > 0).mean()
+        assert abs(keep_frac - 0.6) < 0.03
+
+    def test_ste_gradient_reaches_logit_p(self):
+        params = self.spec.init(16)
+        noise = self.spec.sample_noise(jax.random.PRNGKey(3), (32,), 16)
+        x = jax.random.normal(jax.random.PRNGKey(4), (32, 16))
+
+        def loss(p):
+            return jnp.sum(self.spec.apply(p, noise, x, train=True) ** 2)
+
+        g = jax.grad(loss)(params)
+        assert np.abs(np.asarray(g['logit_p'])).sum() > 0
+
+    def test_eval_mode_mask_is_constant(self):
+        params = self.spec.init(16)
+        noise = self.spec.sample_noise(jax.random.PRNGKey(5), (8,), 16)
+        x = jnp.ones((8, 16))
+
+        def loss(p):
+            return jnp.sum(self.spec.apply(p, noise, x, train=False))
+
+        g = jax.grad(loss)(params)
+        np.testing.assert_allclose(np.asarray(g['logit_p']), 0.0)
+
+    def test_entropy_regularizer_sign(self):
+        params = self.spec.init(4)
+        w = jnp.ones((4, 4))
+        reg = self.spec.regularizer(params, w)
+        # weight term positive, entropy term negative; total finite
+        assert np.isfinite(float(reg))
+
+
+class TestMLP:
+    spec = models.MLPSpec(input_dims=5, output_dims=3, hidden_dims=(32, 32),
+                          dropout=cdropout(0.1),
+                          input_dropout=bdropout(0.2))
+
+    def test_shapes_and_batch_polymorphism(self):
+        params = self.spec.init(jax.random.PRNGKey(0))
+        noise = self.spec.sample_noise(jax.random.PRNGKey(1), (7,))
+        x = jnp.ones((7, 5))
+        y = self.spec.apply(params, x, noise)
+        assert y.shape == (7, 3)
+        # no-noise (deterministic) path
+        y2 = self.spec.apply(params, x, None)
+        assert y2.shape == (7, 3)
+
+    def test_pegasus_reuse(self):
+        params = self.spec.init(jax.random.PRNGKey(0))
+        noise = self.spec.sample_noise(jax.random.PRNGKey(1), (4,))
+        x = jax.random.normal(jax.random.PRNGKey(2), (4, 5))
+        y1 = self.spec.apply(params, x, noise)
+        y2 = self.spec.apply(params, x, noise)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        noise3 = self.spec.sample_noise(jax.random.PRNGKey(3), (4,))
+        y3 = self.spec.apply(params, x, noise3)
+        assert np.abs(np.asarray(y1) - np.asarray(y3)).max() > 0
+
+    def test_regularization_loss_finite_and_depends_on_weights(self):
+        params = self.spec.init(jax.random.PRNGKey(0))
+        r1 = float(self.spec.regularization_loss(params))
+        assert np.isfinite(r1)
+        params2 = jax.tree_util.tree_map(lambda p: p * 2.0, params)
+        r2 = float(self.spec.regularization_loss(params2))
+        assert r2 != r1
+
+    def test_jit_and_grad(self):
+        params = self.spec.init(jax.random.PRNGKey(0))
+        noise = self.spec.sample_noise(jax.random.PRNGKey(1), (4,))
+        x = jnp.ones((4, 5))
+
+        @jax.jit
+        def loss(p):
+            return jnp.sum(self.spec.apply(p, x, noise, train=True) ** 2)
+
+        g = jax.grad(loss)(params)
+        assert np.isfinite(float(loss(params)))
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in flat)
+
+    def test_layer_norm(self):
+        spec = models.MLPSpec(input_dims=4, output_dims=2, hidden_dims=(16,),
+                              layer_norm=True)
+        params = spec.init(jax.random.PRNGKey(0))
+        y = spec.apply(params, jnp.ones((3, 4)))
+        assert y.shape == (3, 2)
+
+    def test_bfloat16_compute(self):
+        spec = models.MLPSpec(input_dims=4, output_dims=2, hidden_dims=(16,),
+                              compute_dtype='bfloat16')
+        params = spec.init(jax.random.PRNGKey(0))
+        y = spec.apply(params, jnp.ones((3, 4)))
+        assert y.dtype == jnp.float32
+
+
+class TestDiagGaussianDensity:
+    density = models.DiagGaussianDensity(output_dims=3)
+
+    def test_zero_noise_returns_mean(self):
+        x = jnp.concatenate([jnp.ones((2, 3)), -2.0 * jnp.ones((2, 3))], -1)
+        noise = {'z': jnp.zeros((2, 3))}
+        s = self.density.sample(x, noise)
+        np.testing.assert_allclose(np.asarray(s), 1.0, rtol=1e-5)
+
+    def test_log_std_clipping(self):
+        x = jnp.concatenate([jnp.zeros((1, 3)), 100.0 * jnp.ones((1, 3))], -1)
+        _, log_std = self.density.distribution(x)
+        assert np.all(np.asarray(log_std) <= np.log(5.0) + 1e-5)
+
+    def test_scaling_params(self):
+        x = jnp.concatenate([jnp.ones((2, 3)), jnp.zeros((2, 3))], -1)
+        my = 10.0 * jnp.ones((1, 3))
+        Sy = 2.0 * jnp.ones((1, 3))
+        mean, log_std = self.density.distribution(x, (my, Sy))
+        np.testing.assert_allclose(np.asarray(mean), 12.0, rtol=1e-5)
+
+    def test_log_prob_matches_ops(self):
+        from prob_mbrl_tpu import ops
+        y = jnp.ones((2, 3))
+        mean = jnp.zeros((2, 3))
+        log_std = 0.1 * jnp.ones((2, 3))
+        np.testing.assert_allclose(
+            np.asarray(self.density.log_prob(y, mean, log_std)),
+            np.asarray(ops.gaussian_log_likelihood(y, mean, log_std)))
+
+
+class TestGaussianMixtureDensity:
+    density = models.GaussianMixtureDensity(output_dims=2, n_components=3)
+
+    def test_n_inputs(self):
+        assert self.density.n_inputs == 2 * 2 * 3 + 3 + 1
+
+    def test_distribution_shapes(self):
+        x = jnp.ones((5, self.density.n_inputs))
+        mean, log_std, logit_pi = self.density.distribution(x)
+        assert mean.shape == (5, 2, 3)
+        assert log_std.shape == (5, 2, 3)
+        assert logit_pi.shape == (5, 3)
+
+    def test_sample_deterministic_with_fixed_noise(self):
+        x = jax.random.normal(jax.random.PRNGKey(0),
+                              (5, self.density.n_inputs))
+        noise = self.density.sample_noise(jax.random.PRNGKey(1), (5,))
+        s1 = self.density.sample(x, noise)
+        s2 = self.density.sample(x, noise)
+        assert s1.shape == (5, 2)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+    def test_sample_gradient_flows(self):
+        x = jax.random.normal(jax.random.PRNGKey(0),
+                              (8, self.density.n_inputs))
+        noise = self.density.sample_noise(jax.random.PRNGKey(1), (8,))
+
+        def loss(x):
+            return jnp.sum(self.density.sample(x, noise) ** 2)
+
+        g = jax.grad(loss)(x)
+        assert np.abs(np.asarray(g)).sum() > 0
+
+    def test_dominant_component_selected(self):
+        # make component 0 dominate -> samples should be near mean of comp 0
+        D, K = 2, 3
+        mean = np.zeros((4, D, K), np.float32)
+        mean[:, :, 0] = 5.0
+        x = np.zeros((4, self.density.n_inputs), np.float32)
+        x[:, :D * K] = mean.reshape(4, -1)
+        x[:, 2 * D * K:2 * D * K + K] = np.array([50.0, -50.0, -50.0])
+        x[:, :D * K] = mean.reshape(4, -1)
+        x[:, D * K: 2 * D * K] = -10.0  # tiny stds
+        noise = self.density.sample_noise(jax.random.PRNGKey(2), (4,))
+        s = self.density.sample(jnp.array(x), noise)
+        np.testing.assert_allclose(np.asarray(s), 5.0, atol=0.5)
+
+
+class TestRegressorPolicy:
+    def _regressor(self):
+        density = models.DiagGaussianDensity(2)
+        mlp = models.MLPSpec(input_dims=3, output_dims=density.n_inputs,
+                             hidden_dims=(32,), dropout=cdropout(0.1))
+        return models.Regressor(mlp=mlp, output_density=density)
+
+    def test_fit_stats_and_normalized_forward(self):
+        reg = self._regressor()
+        rng = np.random.RandomState(0)
+        X = jnp.array(rng.randn(100, 3).astype(np.float32) * 5 + 2)
+        Y = jnp.array(rng.randn(100, 2).astype(np.float32) * 3 - 1)
+        stats = reg.fit_stats(X, Y)
+        np.testing.assert_allclose(np.asarray(stats['Sx']),
+                                   4 * np.std(np.asarray(X), 0, keepdims=True),
+                                   rtol=1e-4)
+        params = reg.init(jax.random.PRNGKey(0))
+        mean, log_std = reg.apply(params, stats, X[:5])
+        assert mean.shape == (5, 2)
+
+    def test_zero_variance_dims_clamped(self):
+        reg = self._regressor()
+        X = jnp.ones((10, 3))
+        Y = jnp.ones((10, 2))
+        stats = reg.fit_stats(X, Y)
+        np.testing.assert_allclose(np.asarray(stats['Sx']), 4.0)
+
+    def test_policy_respects_bounds(self):
+        density = models.DiagGaussianDensity(1)
+        mlp = models.MLPSpec(input_dims=4, output_dims=density.n_inputs,
+                             hidden_dims=(16,), dropout=bdropout(0.1))
+        pol = models.Policy(mlp=mlp, output_density=density, max_u=(10.0,))
+        params = pol.init(jax.random.PRNGKey(0))
+        noise = pol.sample_noise(jax.random.PRNGKey(1), (32,))
+        x = 100.0 * jax.random.normal(jax.random.PRNGKey(2), (32, 4))
+        u = pol.apply(params, x, noise)
+        assert np.all(np.abs(np.asarray(u)) <= 10.0)
+
+    def test_dynamics_model_known_reward(self):
+        D, U = 3, 1
+        density = models.DiagGaussianDensity(D)
+        mlp = models.MLPSpec(input_dims=D + U, output_dims=density.n_inputs,
+                             hidden_dims=(16,), dropout=cdropout(0.1))
+
+        def reward_func(x, u):
+            return -jnp.sum(x ** 2, -1, keepdims=True)
+
+        dyn = models.DynamicsModel(
+            regressor=models.Regressor(mlp=mlp, output_density=density),
+            reward_func=reward_func)
+        params = dyn.init(jax.random.PRNGKey(0))
+        stats = dyn.init_stats()
+        noise = dyn.sample_noise(jax.random.PRNGKey(1), (5,))
+        s = jnp.ones((5, D))
+        a = jnp.zeros((5, U))
+        next_s, r = dyn.apply(params, stats, s, a, noise,
+                              return_samples=True, separate_outputs=True,
+                              deltas=False)
+        assert next_s.shape == (5, D)
+        assert r.shape == (5, 1)
+        np.testing.assert_allclose(
+            np.asarray(r),
+            np.asarray(-jnp.sum(next_s ** 2, -1, keepdims=True)), rtol=1e-5)
+
+    def test_dynamics_model_learned_reward(self):
+        D, U = 3, 1
+        density = models.DiagGaussianDensity(D + 1)
+        mlp = models.MLPSpec(input_dims=D + U, output_dims=density.n_inputs,
+                             hidden_dims=(16,), dropout=cdropout(0.1))
+        dyn = models.DynamicsModel(
+            regressor=models.Regressor(mlp=mlp, output_density=density))
+        params = dyn.init(jax.random.PRNGKey(0))
+        stats = dyn.init_stats()
+        noise = dyn.sample_noise(jax.random.PRNGKey(1), (5,))
+        out = dyn.apply(params, stats, jnp.ones((5, D)), jnp.zeros((5, U)),
+                        noise, return_samples=True)
+        assert out.shape == (5, D + 1)
+
+
+class TestActivations:
+    def test_all_activations_finite(self):
+        x = jnp.linspace(-3, 3, 24)
+        for name, fn in models.ACTIVATIONS.items():
+            y = fn(x)
+            assert np.all(np.isfinite(np.asarray(y))), name
+
+    def test_hh_sinlu_shape(self):
+        from prob_mbrl_tpu.models import activations
+        x = jnp.ones((4, 10))
+        assert activations.hh_sinlu(x).shape == (4, 10)

@@ -1,0 +1,180 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from prob_mbrl_tpu import ops
+
+
+def test_gaussian_log_likelihood_matches_closed_form():
+    rng = np.random.RandomState(0)
+    y = rng.randn(7, 3).astype(np.float32)
+    mu = rng.randn(7, 3).astype(np.float32)
+    log_std = rng.randn(7, 3).astype(np.float32) * 0.3
+
+    got = ops.gaussian_log_likelihood(jnp.array(y), jnp.array(mu),
+                                      jnp.array(log_std))
+    # independent closed form
+    var = np.exp(2 * log_std)
+    want = -0.5 * np.sum((y - mu) ** 2 / var + 2 * log_std +
+                         np.log(2 * np.pi), -1)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+
+def test_gaussian_log_likelihood_no_std():
+    y = jnp.ones((2, 3))
+    mu = jnp.zeros((2, 3))
+    got = ops.gaussian_log_likelihood(y, mu)
+    np.testing.assert_allclose(np.asarray(got), -1.5 * np.ones(2), rtol=1e-6)
+
+
+def test_mixture_log_likelihood_reduces_to_gaussian_single_component():
+    rng = np.random.RandomState(1)
+    y = rng.randn(5, 4).astype(np.float32)
+    mu = rng.randn(5, 4, 1).astype(np.float32)
+    log_std = (0.1 * rng.randn(5, 4, 1)).astype(np.float32)
+    logit_pi = np.zeros((5, 1), np.float32)
+
+    got = ops.gaussian_mixture_log_likelihood(
+        jnp.array(y), jnp.array(mu), jnp.array(log_std), jnp.array(logit_pi))
+    want = ops.gaussian_log_likelihood(
+        jnp.array(y), jnp.array(mu[..., 0]), jnp.array(log_std[..., 0]))
+    np.testing.assert_allclose(np.asarray(got)[:, 0], np.asarray(want),
+                               rtol=1e-5)
+
+
+def test_mixture_log_likelihood_matches_numpy_logsumexp():
+    rng = np.random.RandomState(2)
+    B, D, K = 6, 3, 4
+    y = rng.randn(B, D).astype(np.float32)
+    mu = rng.randn(B, D, K).astype(np.float32)
+    log_std = (0.2 * rng.randn(B, D, K)).astype(np.float32)
+    logit_pi = rng.randn(B, K).astype(np.float32)
+
+    got = ops.gaussian_mixture_log_likelihood(
+        jnp.array(y), jnp.array(mu), jnp.array(log_std), jnp.array(logit_pi))
+
+    # independent computation
+    comp_ll = -0.5 * np.sum(
+        ((y[..., None] - mu) / np.exp(log_std)) ** 2 + 2 * log_std +
+        np.log(2 * np.pi), axis=-2)
+    log_pi = logit_pi - np.log(np.sum(np.exp(logit_pi), -1, keepdims=True))
+    want = np.log(np.sum(np.exp(log_pi + comp_ll), -1))
+    np.testing.assert_allclose(np.asarray(got)[:, 0], want, rtol=1e-4)
+
+
+def test_quadratic_losses():
+    x = jnp.array([[1.0, 0.0]])
+    t = jnp.array([[0.0, 0.0]])
+    Q = 2.0 * jnp.eye(2)
+    np.testing.assert_allclose(np.asarray(ops.quadratic_loss(x, t, Q)),
+                               [[2.0]])
+    np.testing.assert_allclose(
+        np.asarray(ops.quadratic_saturating_loss(x, t, Q)),
+        [[1.0 - np.exp(-1.0)]], rtol=1e-6)
+
+
+def test_to_complex_layout():
+    x = jnp.array([[0.1, 0.2, np.pi / 2, 0.4]])
+    out = ops.to_complex(x, (2,))
+    want = np.array([[0.1, 0.2, 0.4, np.sin(np.pi / 2), np.cos(np.pi / 2)]])
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
+
+
+def test_to_complex_numpy_and_jax_agree():
+    rng = np.random.RandomState(3)
+    x = rng.randn(4, 6).astype(np.float32)
+    a = ops.to_complex(x, (1, 4))
+    b = ops.to_complex(jnp.array(x), (1, 4))
+    np.testing.assert_allclose(a, np.asarray(b), rtol=1e-6)
+    assert a.shape == (4, 8)
+
+
+def test_to_complex_empty_dims_identity():
+    x = jnp.ones((3, 2))
+    assert ops.to_complex(x, ()) is x
+
+
+def test_softplus_upper_clip():
+    x = jnp.array([-10.0, 0.0, 10.0, 100.0])
+    out = ops.softplus_upper_clip(x, np.log(5.0))
+    assert np.all(np.asarray(out) <= np.log(5.0) + 1e-6)
+    # identity far below the bound
+    np.testing.assert_allclose(np.asarray(out)[0], -10.0, atol=1e-3)
+
+
+def test_safe_cholesky_psd():
+    rng = np.random.RandomState(4)
+    A = rng.randn(5, 5)
+    S = (A @ A.T + 5 * np.eye(5)).astype(np.float32)
+    L = ops.safe_cholesky(jnp.array(S))
+    np.testing.assert_allclose(np.asarray(L @ L.T), S, rtol=1e-4, atol=1e-4)
+
+
+def test_safe_cholesky_rank_deficient():
+    # rank-1 matrix: plain cholesky fails, jitter escalation must rescue
+    v = np.array([[1.0, 2.0, 3.0]], np.float32)
+    S = jnp.array(v.T @ v)
+    L = ops.safe_cholesky(S, initial_jitter=1e-12)
+    assert np.all(np.isfinite(np.asarray(L)))
+    np.testing.assert_allclose(np.asarray(L @ L.T), np.asarray(S), atol=1e-2)
+
+
+def test_safe_cholesky_jittable():
+    S = jnp.eye(3)
+    L = jax.jit(ops.safe_cholesky)(S)
+    np.testing.assert_allclose(np.asarray(L), np.eye(3), atol=1e-6)
+
+
+def test_mm_resample_preserves_moments():
+    rng = np.random.RandomState(5)
+    samples = jnp.array(rng.randn(4096, 4).astype(np.float32))
+    z = jnp.array(rng.randn(4096, 4).astype(np.float32))
+    out = ops.mm_resample(samples, z)
+    m_in, S_in = ops.particle_moments(samples)
+    m_out, S_out = ops.particle_moments(out)
+    np.testing.assert_allclose(np.asarray(m_out), np.asarray(m_in), atol=1e-4)
+    # matched up to the sampling error of the standardized fixed noise
+    np.testing.assert_allclose(np.asarray(S_out), np.asarray(S_in), atol=0.1)
+
+
+def test_mm_resample_infer_ns_is_identity_in_value():
+    rng = np.random.RandomState(6)
+    samples = jnp.array(rng.randn(64, 3).astype(np.float32))
+    z = jnp.zeros_like(samples)
+    out = ops.mm_resample_infer_ns(samples, z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(samples), atol=1e-3)
+
+
+def test_mm_resample_gradients_flow():
+    samples = jnp.ones((32, 2)) + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (32, 2))
+    z = jax.random.normal(jax.random.PRNGKey(1), (32, 2))
+
+    def loss(s):
+        return jnp.sum(ops.mm_resample(s, z) ** 2)
+
+    g = jax.grad(loss)(samples)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_grouped_mm_shapes():
+    rng = np.random.RandomState(7)
+    samples = jnp.array(rng.randn(100, 4).astype(np.float32))
+    z = jnp.array(rng.randn(100, 4).astype(np.float32))
+    out = ops.grouped(ops.mm_resample, samples, z, mm_groups=4)
+    assert out.shape == (100, 4)
+
+
+def test_clip_grad_norm():
+    g = {'a': jnp.ones((10,)), 'b': 2.0 * jnp.ones((5,))}
+    clipped = ops.clip_grad_norm(g, 1.0)
+    total = np.sqrt(sum(np.sum(np.asarray(v) ** 2)
+                        for v in jax.tree_util.tree_leaves(clipped)))
+    assert total <= 1.0 + 1e-4
+    # no-op when under the limit
+    small = {'a': 1e-3 * jnp.ones((2,))}
+    out = ops.clip_grad_norm(small, 1.0)
+    np.testing.assert_allclose(np.asarray(out['a']),
+                               np.asarray(small['a']), rtol=1e-5)
