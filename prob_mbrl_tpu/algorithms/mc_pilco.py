@@ -1,0 +1,327 @@
+"""MC-PILCO / Deep-PILCO policy optimization.
+
+TPU-first redesign of `prob_mbrl/algorithms/mc_pilco.py:13-267`. The reference
+runs 1000 host-dispatched optimizer iterations per episode, each doing a
+Python-loop rollout with mutable mask buffers and try/except Cholesky
+recovery. Here the *entire policy optimization* — PEGASUS noise epochs,
+initial-state sampling, `lax.scan` particle rollouts, CVaR filtering, policy
+gradients, clipping and optax updates — compiles to one XLA program
+(``make_mc_pilco_fn``), so an episode's policy update is a single device
+launch.
+
+Semantics mirrored from the reference:
+  * default discount = uniform ``1/steps`` (`mc_pilco.py:47-50`), or
+    ``gamma**t`` when a float is given;
+  * PEGASUS: dropout masks, density noise and the MM noise buffers are all
+    derived from an epoch key ``fold_in(key, n_opt_steps // period)`` —
+    "resample every ``resampling_period`` steps, atomically"
+    (`mc_pilco.py:64-91`). The global step counter is threaded through calls,
+    matching the reference's ``policy_update_counter``;
+  * non-PEGASUS: fresh noise every iteration + fresh density noise every
+    rollout step (`rollout.py:101-104` resample flags);
+  * value bootstrap: ``discount(H) * V(s_H)`` appended to the discounted
+    reward stack (`mc_pilco.py:136-140`);
+  * CVaR filtering on per-particle returns (`mc_pilco.py:146-154`):
+    ``cvar_eps > 0`` keeps the lowest-``eps`` quantile of (possibly negated)
+    returns, ``cvar_eps < 0`` the highest. Implemented with a static-k
+    ``lax.top_k`` instead of a data-dependent boolean mask;
+  * gradient-norm prioritized initial-state replay (`mc_pilco.py:156-188`):
+    the reference reads per-step action gradients through backward hooks; here
+    a zero action-perturbation input is differentiated instead (see
+    ``utils.rollout`` ``action_eps``), which is hook-free and jit-native. The
+    SumTree itself stays host-side (``mc_pilco`` loop mode).
+"""
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.math import clip_grad_norm
+from ..utils.rollout import rollout as rollout_fn
+from ..utils.experience import SumTree
+from ..utils.core import tile
+
+
+def discount_weights(discount, steps, dtype=jnp.float32):
+    """[T] per-step discount weights + the terminal discount(H) scalar.
+
+    ``discount=None`` -> uniform 1/steps (`mc_pilco.py:47-48`);
+    float -> gamma**t; callable -> [discount(t) for t in range(T)].
+    """
+    if discount is None:
+        w = np.full((steps,), 1.0 / steps)
+        wH = 1.0 / steps
+    elif callable(discount):
+        w = np.array([discount(t) for t in range(steps)])
+        wH = discount(steps)
+    else:
+        w = discount ** np.arange(steps)
+        wH = discount ** steps
+    return jnp.asarray(w, dtype), jnp.asarray(wH, dtype)
+
+
+def cvar_filter(returns, cvar_eps):
+    """Static-shape CVaR quantile filter (`mc_pilco.py:146-154`).
+
+    Returns (selected_returns, k): for ``cvar_eps`` in (0, 1) the k lowest
+    returns, for (-1, 0) the k highest; otherwise all returns.
+    """
+    B = returns.shape[0]
+    if not (-1.0 < cvar_eps < 1.0) or cvar_eps == 0.0:
+        return returns, B
+    k = max(1, int(round(abs(cvar_eps) * B)))
+    if cvar_eps > 0:  # keep lowest-eps quantile
+        vals, _ = jax.lax.top_k(-returns, k)
+        return -vals, k
+    vals, _ = jax.lax.top_k(returns, k)
+    return vals, k
+
+
+@dataclasses.dataclass(frozen=True)
+class MCPILCOConfig:
+    """Static configuration of the jitted MC-PILCO policy optimizer."""
+    n_particles: int = 100
+    steps: int = 15
+    pegasus: bool = True
+    mm_states: bool = False
+    mm_rewards: bool = False
+    mm_groups: Optional[int] = None
+    infer_noise_variables: bool = False
+    maximize: bool = True
+    clip_grad: Optional[float] = 1.0
+    cvar_eps: float = 0.0
+    reg_weight: float = 0.0
+    discount: Union[None, float, Callable] = None
+    init_state_noise: float = 0.0
+    resampling_period: int = 499
+    with_priorities: bool = False
+
+
+def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None):
+    """Build the jitted MC-PILCO policy-optimization function.
+
+    Args:
+      dyn: ``models.DynamicsModel`` spec (static).
+      pol: ``models.Policy`` spec (static).
+      config: ``MCPILCOConfig``.
+      optimizer: optax GradientTransformation for the policy parameters.
+      value_spec: optional ``models.Regressor`` spec for the terminal value
+        bootstrap (its params/stats are call-time arguments).
+
+    Returns:
+      ``opt(pol_params, opt_state, dyn_params, dyn_stats, x0_pool, key,
+      n_opt_steps, iters, value_params=None, value_stats=None)`` ->
+      ``(pol_params, opt_state, metrics, n_opt_steps')`` where ``x0_pool`` is
+      a [N0, D] on-device pool of candidate initial states (from experience),
+      ``n_opt_steps`` the carried global PEGASUS counter, ``iters`` static.
+      ``metrics`` holds per-iteration ``loss`` and ``mean_return``; with
+      ``config.with_priorities`` it also holds per-iteration per-group
+      mean action-gradient norms (`mc_pilco.py:166-181`).
+    """
+    cfg = config
+    B = cfg.n_particles
+    G = cfg.mm_groups if cfg.mm_groups else B
+    w_t, w_H = discount_weights(cfg.discount, cfg.steps)
+
+    def sample_all_noise(epoch_key, D):
+        kd, kp, kv, kz1, kz2 = jax.random.split(epoch_key, 5)
+        dyn_noise = dyn.sample_noise(kd, (B,))
+        pol_noise = pol.sample_noise(kp, (B,))
+        z_mm = jax.random.normal(kz1, (B, D))
+        z_rr = jax.random.normal(kz2, (B, 1))
+        value_noise = (value_spec.sample_noise(kv, (B,))
+                       if value_spec is not None else None)
+        return dyn_noise, pol_noise, value_noise, z_mm, z_rr
+
+    def loss_fn(pol_params, action_eps, x0, dyn_params, dyn_stats, noise,
+                step_key, value_params, value_stats):
+        dyn_noise, pol_noise, value_noise, z_mm, z_rr = noise
+        value_fn = None
+        if value_spec is not None:
+            def value_fn_(s):
+                return value_spec.apply(value_params, value_stats, s,
+                                        value_noise, return_samples=True)
+            value_fn = value_fn_ if value_params is not None else None
+
+        traj = rollout_fn(
+            x0, dyn, pol, cfg.steps, dyn_params, dyn_stats, pol_params,
+            dyn_noise, pol_noise,
+            mm_states=cfg.mm_states, mm_rewards=cfg.mm_rewards,
+            infer_noise_variables=cfg.infer_noise_variables,
+            z_mm=z_mm, z_rr=z_rr,
+            mm_groups=cfg.mm_groups,
+            resample_state_noise=not cfg.pegasus,
+            resample_action_noise=not cfg.pegasus,
+            key=step_key, action_eps=action_eps)
+        states, actions, rewards = traj[:3]
+
+        # [T, B] discounted rewards; sum over time -> per-particle returns
+        disc = (rewards[..., 0] * w_t[:, None])
+        returns = jnp.sum(disc, 0)
+        if value_fn is not None:
+            returns = returns + w_H * value_fn(states[-1])[..., 0]
+        if cfg.maximize:
+            returns = -returns
+
+        selected, _ = cvar_filter(returns, cfg.cvar_eps)
+        loss = jnp.mean(selected)
+        if cfg.reg_weight > 0:
+            loss = loss + cfg.reg_weight * pol.regularization_loss(pol_params)
+        mean_return = jnp.mean(jnp.sum(rewards[..., 0], 0))
+        return loss, mean_return
+
+    def iteration(pol_params, opt_state, dyn_params, dyn_stats, x0_pool,
+                  epoch_key, iter_key, value_params, value_stats):
+        D = x0_pool.shape[-1]
+        noise = sample_all_noise(epoch_key, D)
+
+        kx, kn, ks = jax.random.split(iter_key, 3)
+        # sample initial states from the pool (`mc_pilco.py:247-260`)
+        idx = jax.random.randint(kx, (G,), 0, x0_pool.shape[0])
+        x0 = x0_pool[idx]
+        if cfg.mm_groups:
+            x0 = tile(x0, B // cfg.mm_groups)  # (`mc_pilco.py:98-100`)
+        if cfg.init_state_noise > 0:
+            x0 = x0 + cfg.init_state_noise * jax.random.normal(kn, x0.shape)
+
+        action_eps = jnp.zeros((cfg.steps, B) + (pol_action_dims,))
+        if cfg.with_priorities:
+            (loss, mean_return), (g_pol, g_eps) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                    pol_params, action_eps, x0, dyn_params, dyn_stats, noise,
+                    ks, value_params, value_stats)
+            # per-step per-particle action-grad norms -> per-group scores
+            norms = jnp.linalg.norm(g_eps, axis=-1)          # [T, B]
+            norms = norms.reshape(cfg.steps, G, B // G).mean(-1)  # [T, G]
+            scores = norms.mean(0)                           # [G]
+        else:
+            (loss, mean_return), g_pol = jax.value_and_grad(
+                loss_fn, has_aux=True)(
+                    pol_params, action_eps, x0, dyn_params, dyn_stats, noise,
+                    ks, value_params, value_stats)
+            scores = jnp.zeros((G,))
+
+        if cfg.clip_grad is not None:
+            g_pol = clip_grad_norm(g_pol, cfg.clip_grad)
+        updates, opt_state = optimizer.update(g_pol, opt_state, pol_params)
+        pol_params = optax.apply_updates(pol_params, updates)
+        metrics = {'loss': loss, 'mean_return': mean_return}
+        if cfg.with_priorities:
+            metrics['priority_scores'] = scores
+        return pol_params, opt_state, metrics
+
+    pol_action_dims = len(pol.max_u)
+
+    @partial(jax.jit, static_argnames=('iters',))
+    def opt(pol_params, opt_state, dyn_params, dyn_stats, x0_pool, key,
+            n_opt_steps, iters, value_params=None, value_stats=None):
+        # `pegasus_key` is deliberately NOT folded with the per-call iteration
+        # offset: the noise epoch depends only on the global opt-step counter,
+        # so masks stay pinned across chunked calls exactly like the
+        # reference's `policy_update_counter` bookkeeping (`mc_pilco.py:78,91`).
+        pegasus_key = jax.random.fold_in(key, 0x5EED)
+
+        def step(carry, i):
+            del i
+            pol_params, opt_state, n = carry
+            # keys are a function of the global counter, so chunked host
+            # loops reproduce the single-launch stream exactly
+            iter_key = jax.random.fold_in(key, n)
+            if cfg.pegasus:
+                epoch_key = jax.random.fold_in(pegasus_key,
+                                               n // cfg.resampling_period)
+            else:
+                epoch_key = iter_key
+            pol_params, opt_state, metrics = iteration(
+                pol_params, opt_state, dyn_params, dyn_stats, x0_pool,
+                epoch_key, iter_key, value_params, value_stats)
+            return (pol_params, opt_state, n + 1), metrics
+
+        (pol_params, opt_state, n_opt_steps), metrics = jax.lax.scan(
+            step, (pol_params, opt_state, n_opt_steps), jnp.arange(iters))
+        return pol_params, opt_state, metrics, n_opt_steps
+
+    return opt
+
+
+def mc_pilco(x0_pool, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
+             opt_state=None, optimizer=None, exp=None, opt_iters=1000,
+             value_spec=None, value_params=None, value_stats=None,
+             pegasus=True, mm_states=False, mm_rewards=False, mm_groups=None,
+             maximize=True, clip_grad=1.0, cvar_eps=0.0, reg_weight=0.0,
+             discount=None, init_state_noise=0.0, resampling_period=499,
+             n_particles=100, key=None, n_opt_steps=0, on_iteration=None,
+             prioritized_replay=False, priority_alpha=0.6, priority_eps=1e-8,
+             init_priority_beta=1.0, chunk=None):
+    """Host-level MC-PILCO loop (`mc_pilco.py:13-267` feature-complete path).
+
+    Runs the jitted optimizer in chunks so host-side features — prioritized
+    initial-state replay through a SumTree, per-iteration callbacks — can
+    interleave. Without those features one chunk = the whole optimization =
+    one device launch.
+
+    Returns (pol_params, opt_state, metrics_dict, n_opt_steps).
+    """
+    if optimizer is None:
+        optimizer = optax.adam(1e-3)
+    if opt_state is None:
+        opt_state = optimizer.init(pol_params)
+    if key is None:
+        key = jax.random.PRNGKey(np.random.randint(2 ** 31))
+
+    cfg = MCPILCOConfig(
+        n_particles=n_particles, steps=steps, pegasus=pegasus,
+        mm_states=mm_states, mm_rewards=mm_rewards, mm_groups=mm_groups,
+        maximize=maximize, clip_grad=clip_grad, cvar_eps=cvar_eps,
+        reg_weight=reg_weight, discount=discount,
+        init_state_noise=init_state_noise,
+        resampling_period=resampling_period,
+        with_priorities=prioritized_replay)
+    opt_fn = make_mc_pilco_fn(dyn, pol, cfg, optimizer, value_spec)
+
+    if chunk is None:
+        chunk = opt_iters if (on_iteration is None and
+                              not prioritized_replay) else 50
+
+    tree = None
+    beta = init_priority_beta
+    if prioritized_replay:
+        tree = SumTree(2 ** 20)
+        for row in np.asarray(x0_pool):
+            tree.append(row, tree.max_p)
+        tree.renormalize()
+
+    all_metrics = []
+    done = 0
+    pool = jnp.asarray(x0_pool)
+    G = mm_groups if mm_groups else n_particles
+    while done < opt_iters:
+        n = min(chunk, opt_iters - done)
+        if prioritized_replay:
+            samples, idxs, _w = tree.sample(max(G, 2), beta=beta)
+            pool = jnp.asarray(np.stack(samples), jnp.float32)
+        pol_params, opt_state, metrics, n_opt_steps = opt_fn(
+            pol_params, opt_state, dyn_params, dyn_stats, pool,
+            key, n_opt_steps, n, value_params, value_stats)
+        metrics = jax.tree_util.tree_map(np.asarray, metrics)
+        all_metrics.append(metrics)
+        if prioritized_replay:
+            scores = metrics['priority_scores'].mean(0)
+            counts = tree.counts[np.asarray(idxs) - tree.max_size + 1]
+            counts = counts[:len(scores)]
+            pr = (scores / np.maximum(counts, 1) + priority_eps
+                  ) ** priority_alpha
+            for ti, p in zip(np.asarray(idxs)[:len(pr)], pr):
+                tree.update(int(ti), float(p))
+            tree.renormalize()
+        if callable(on_iteration):
+            on_iteration(done + n, metrics)
+        done += n
+
+    merged = {k: np.concatenate([m[k] for m in all_metrics])
+              for k in all_metrics[0]}
+    return pol_params, opt_state, merged, n_opt_steps

@@ -21,37 +21,58 @@ def softplus_upper_clip(x, upper):
 
 
 def safe_cholesky(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
-    """Cholesky with escalating diagonal jitter, jit-compatible.
+    """Cholesky with escalating diagonal jitter, jit-compatible AND
+    differentiable at rank-deficient inputs.
 
-    Computes cholesky(S + jitter*I), growing jitter by ``factor`` until the
-    factorization is finite. All ``max_tries`` factorizations are evaluated
-    (they are tiny DxD ops in this framework; D is a state dim, not a model
-    width) and the first finite one is selected with ``jnp.where`` — no
-    data-dependent control flow, so XLA can fuse and parallelize.
+    Computes cholesky(S + jitter*I) with jitter scaled *relative to the
+    matrix* (mean diagonal), growing by ``factor`` until the factorization is
+    well-conditioned. An attempt counts as ok only when it is finite and its
+    smallest diagonal pivot is bounded away from zero — a merely-finite factor
+    of a singular matrix has (near-)zero pivots whose cholesky backward pass
+    divides by them, producing NaN gradients (the empirical covariance of M
+    particles in D>=M dims is always rank-deficient, so this path is hot, not
+    exceptional). All ``max_tries`` factorizations are evaluated (tiny DxD ops
+    — D is a state dim, not a model width) and the first ok one is selected by
+    a gather — no data-dependent control flow, so XLA fuses the batch.
 
     Args:
       S: [..., D, D] symmetric PSD-ish matrices.
-      initial_jitter: starting diagonal jitter.
+      initial_jitter: starting *relative* diagonal jitter.
       max_tries: number of escalations.
       factor: jitter multiplier per escalation.
 
     Returns:
-      [..., D, D] lower-triangular factors. If every attempt fails, returns the
-      last attempt (NaNs propagate, surfacing the error to the caller).
+      [..., D, D] lower-triangular factors. If every attempt fails, returns
+      the last attempt (NaNs propagate, surfacing the error to the caller).
     """
     D = S.shape[-1]
     eye = jnp.eye(D, dtype=S.dtype)
+    # scale-free jitter: relative to the mean diagonal magnitude
+    diag = jnp.diagonal(S, axis1=-2, axis2=-1)
+    scale = jnp.mean(jnp.abs(diag), -1, keepdims=True)[..., None] + 1e-30
+    scale = jax.lax.stop_gradient(scale)
+
+    # Jitter selection runs entirely under stop_gradient: differentiating
+    # through failed attempts would inject NaNs even with zero cotangents
+    # (0/0 in the cholesky backward of a singular factor). Only the final,
+    # well-conditioned factorization is differentiated.
+    S_ng = jax.lax.stop_gradient(S)
+    jitters = initial_jitter * (factor ** jnp.arange(max_tries,
+                                                     dtype=S.dtype))
 
     def attempt(i):
-        jitter = initial_jitter * (factor ** i)
-        return jnp.linalg.cholesky(S + jitter * eye)
+        return jnp.linalg.cholesky(S_ng + (jitters[i] * scale) * eye)
 
     Ls = jnp.stack([attempt(i) for i in range(max_tries)])
-    ok = jnp.isfinite(Ls).all(axis=tuple(range(1, Ls.ndim)))
-    # index of first finite attempt (or last attempt if none)
+    diags = jnp.diagonal(Ls, axis1=-2, axis2=-1)
+    finite = jnp.isfinite(Ls).all(axis=tuple(range(1, Ls.ndim)))
+    # pivots bounded away from zero => bounded backward pass
+    tol = 1e-5 * jnp.sqrt(jnp.max(scale))
+    conditioned = (diags > tol).all(axis=tuple(range(1, diags.ndim)))
+    ok = finite & conditioned
     first_ok = jnp.argmax(ok)
     idx = jnp.where(ok.any(), first_ok, max_tries - 1)
-    return Ls[idx]
+    return jnp.linalg.cholesky(S + (jitters[idx] * scale) * eye)
 
 
 def clip_grad_norm(grads, max_norm, eps=1e-6):

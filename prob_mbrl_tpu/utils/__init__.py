@@ -1,0 +1,13 @@
+"""Training/rollout runtime utilities (reference layer: `prob_mbrl/utils/`)."""
+from .rollout import rollout, make_rollout_fn, get_z_rnd
+from .train_regressor import (make_train_fn, train_regressor,
+                              normalize_dataset)
+from .experience import ExperienceDataset, SumTree
+from .apply_controller import apply_controller
+from .core import polyak_averaging, sin_squashing_fn, tile
+
+__all__ = [
+    'rollout', 'make_rollout_fn', 'get_z_rnd', 'make_train_fn',
+    'train_regressor', 'normalize_dataset', 'ExperienceDataset', 'SumTree',
+    'apply_controller', 'polyak_averaging', 'sin_squashing_fn', 'tile',
+]

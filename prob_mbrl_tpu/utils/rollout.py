@@ -54,7 +54,7 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
             mm_states=False, mm_rewards=False, infer_noise_variables=False,
             z_mm=None, z_rr=None, mm_groups=None,
             resample_state_noise=False, resample_action_noise=False,
-            key=None, value_fn=None):
+            key=None, value_fn=None, action_eps=None):
     """Roll imagined particles through the learned dynamics under the policy.
 
     Args:
@@ -78,6 +78,11 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
         (a Regressor.apply partial-ed with its params/stats/noise). When
         given, per-step V(s) samples are returned too, matching
         ``rollout_with_values`` (`rollout.py:166-227`).
+      action_eps: optional [T, B, U] perturbation added to the actions each
+        step. Pass zeros and differentiate the loss w.r.t. it to read off
+        per-step action gradients — the jit-native replacement for the
+        reference's backward hooks on actions (`mc_pilco.py:156-188`), used
+        for prioritized-replay gradient-norm priorities.
 
     Returns:
       (states [T+1, B, D], actions [T, B, U], rewards [T, B, 1]) and, when
@@ -98,6 +103,8 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
             xs['dyn_density'] = per_step_density(dyn.sample_noise, kd)
         if resample_action_noise and 'density' in pol_noise:
             xs['pol_density'] = per_step_density(pol.sample_noise, kp)
+    if action_eps is not None:
+        xs['action_eps'] = action_eps
 
     def step(states, step_xs):
         t = step_xs['t']
@@ -109,6 +116,8 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
             p_noise['density'] = step_xs['pol_density']
 
         actions = pol.apply(pol_params, states, p_noise, return_samples=True)
+        if 'action_eps' in step_xs:
+            actions = actions + step_xs['action_eps']
         next_states, rewards = dyn.apply(
             dyn_params, dyn_stats, states, actions, d_noise,
             return_samples=True, separate_outputs=True, deltas=False)
