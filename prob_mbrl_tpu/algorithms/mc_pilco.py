@@ -101,7 +101,8 @@ class MCPILCOConfig:
     with_priorities: bool = False
 
 
-def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None):
+def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
+                     mesh=None, particle_axis='particles'):
     """Build the jitted MC-PILCO policy-optimization function.
 
     Args:
@@ -111,6 +112,11 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None):
       optimizer: optax GradientTransformation for the policy parameters.
       value_spec: optional ``models.Regressor`` spec for the terminal value
         bootstrap (its params/stats are call-time arguments).
+      mesh: optional ``jax.sharding.Mesh``. When given, the particle batch is
+        sharding-constrained to the ``particle_axis`` mesh axis so GSPMD
+        keeps every per-particle tensor of the rollout sharded across
+        devices (params replicate; mean-loss and MM moments become psum
+        collectives). ``n_particles`` must divide by the mesh size.
 
     Returns:
       ``opt(pol_params, opt_state, dyn_params, dyn_stats, x0_pool, key,
@@ -127,6 +133,23 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None):
     G = cfg.mm_groups if cfg.mm_groups else B
     w_t, w_H = discount_weights(cfg.discount, cfg.steps)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        _p_sharding = NamedSharding(mesh, P(particle_axis))
+        _tp_sharding = NamedSharding(mesh, P(None, particle_axis))
+
+        def constrain_particles(x):
+            return jax.lax.with_sharding_constraint(x, _p_sharding)
+
+        def constrain_time_particles(x):
+            return jax.lax.with_sharding_constraint(x, _tp_sharding)
+    else:
+        def constrain_particles(x):
+            return x
+
+        def constrain_time_particles(x):
+            return x
+
     def sample_all_noise(epoch_key, D):
         kd, kp, kv, kz1, kz2 = jax.random.split(epoch_key, 5)
         dyn_noise = dyn.sample_noise(kd, (B,))
@@ -135,7 +158,10 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None):
         z_rr = jax.random.normal(kz2, (B, 1))
         value_noise = (value_spec.sample_noise(kv, (B,))
                        if value_spec is not None else None)
-        return dyn_noise, pol_noise, value_noise, z_mm, z_rr
+        # every noise leaf is per-particle (leading axis B) -> shard it
+        return jax.tree_util.tree_map(
+            constrain_particles,
+            (dyn_noise, pol_noise, value_noise, z_mm, z_rr))
 
     def loss_fn(pol_params, action_eps, x0, dyn_params, dyn_stats, noise,
                 step_key, value_params, value_stats):
@@ -187,8 +213,10 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None):
             x0 = tile(x0, B // cfg.mm_groups)  # (`mc_pilco.py:98-100`)
         if cfg.init_state_noise > 0:
             x0 = x0 + cfg.init_state_noise * jax.random.normal(kn, x0.shape)
+        x0 = constrain_particles(x0)
 
-        action_eps = jnp.zeros((cfg.steps, B) + (pol_action_dims,))
+        action_eps = constrain_time_particles(
+            jnp.zeros((cfg.steps, B) + (pol_action_dims,)))
         if cfg.with_priorities:
             (loss, mean_return), (g_pol, g_eps) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(

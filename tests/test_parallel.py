@@ -1,0 +1,137 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Oracles: the single-device kernels. Distributed MM / sharded rollouts /
+the sharded MC-PILCO optimizer must reproduce single-device results up to
+reduction order (SURVEY §4: device-count spoofing as the fake-backend
+substitute).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:
+    from jax.experimental.shard_map import shard_map
+
+from prob_mbrl_tpu import models, parallel
+from prob_mbrl_tpu.algorithms.mc_pilco import MCPILCOConfig, make_mc_pilco_fn
+from prob_mbrl_tpu.ops import moment_matching as mm
+
+from test_algorithms import tiny_setup
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason='needs multiple (virtual) devices')
+
+
+@pytest.fixture(scope='module')
+def mesh():
+    return parallel.make_mesh()
+
+
+class TestDistributedMM:
+    def test_psum_moments_match_single_device(self, mesh):
+        key = jax.random.PRNGKey(0)
+        B, D = 32, 4
+        samples = jax.random.normal(key, (B, D))
+
+        def local(x):
+            m, S = parallel.particle_moments_psum(x, 'particles')
+            return m, S
+
+        m, S = shard_map(local, mesh=mesh, in_specs=P('particles'),
+                         out_specs=(P(), P()))(samples)
+        m_ref, S_ref = mm.particle_moments(samples)
+        np.testing.assert_allclose(m, m_ref, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(S, S_ref, rtol=1e-5, atol=1e-6)
+
+    def test_mm_resample_psum_matches_single_device(self, mesh):
+        key = jax.random.PRNGKey(1)
+        B, D = 32, 4
+        samples = jax.random.normal(key, (B, D)) * 0.5 + 1.0
+        z = jax.random.normal(jax.random.fold_in(key, 1), (B, D))
+
+        out = shard_map(
+            lambda s, zz: parallel.mm_resample_psum(s, zz, 'particles'),
+            mesh=mesh, in_specs=(P('particles'), P('particles')),
+            out_specs=P('particles'))(samples, z)
+        ref = mm.mm_resample(samples, z)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestShardedLoss:
+    def test_matches_single_device_loss_and_grad(self, mesh):
+        dyn, pol, dyn_params, dyn_stats, pol_params = tiny_setup()
+        B, T = 16, 4
+        key = jax.random.PRNGKey(0)
+        x0 = 0.1 * jax.random.normal(key, (B, 4))
+        dyn_noise = dyn.sample_noise(jax.random.fold_in(key, 1), (B,))
+        pol_noise = pol.sample_noise(jax.random.fold_in(key, 2), (B,))
+        z_mm = jax.random.normal(jax.random.fold_in(key, 3), (B, 4))
+        z_rr = jax.random.normal(jax.random.fold_in(key, 4), (B, 1))
+
+        loss_fn = parallel.make_sharded_loss_fn(
+            dyn, pol, T, mesh, mm_states=True, mm_rewards=True)
+
+        # single-device reference via the plain rollout
+        from prob_mbrl_tpu.utils.rollout import rollout
+        from prob_mbrl_tpu.algorithms.mc_pilco import discount_weights
+
+        def ref_loss(pp):
+            _, _, rewards = rollout(
+                x0, dyn, pol, T, dyn_params, dyn_stats, pp, dyn_noise,
+                pol_noise, mm_states=True, mm_rewards=True, z_mm=z_mm,
+                z_rr=z_rr)[:3]
+            w_t, _ = discount_weights(None, T)
+            return -jnp.mean(jnp.sum(rewards[..., 0] * w_t[:, None], 0))
+
+        args = (x0, dyn_params, dyn_stats, dyn_noise, pol_noise, z_mm, z_rr)
+        l_sharded, g_sharded = jax.value_and_grad(loss_fn)(pol_params, *args)
+        l_ref, g_ref = jax.value_and_grad(ref_loss)(pol_params)
+        np.testing.assert_allclose(l_sharded, l_ref, rtol=1e-4)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-3,
+                                                    atol=2e-5),
+            g_sharded, g_ref)
+
+
+class TestShardedMCPILCO:
+    def test_sharded_opt_matches_unsharded(self, mesh):
+        dyn, pol, dyn_params, dyn_stats, pol_params = tiny_setup()
+        cfg = MCPILCOConfig(n_particles=16, steps=3)
+        optimizer = optax.adam(1e-3)
+        x0_pool = 0.01 * jax.random.normal(jax.random.PRNGKey(1), (8, 4))
+        key = jax.random.PRNGKey(2)
+
+        opt_plain = make_mc_pilco_fn(dyn, pol, cfg, optimizer)
+        opt_shard = parallel.make_sharded_mc_pilco_fn(
+            dyn, pol, cfg, optimizer, mesh)
+
+        p1, _, m1, _ = opt_plain(pol_params, optimizer.init(pol_params),
+                                 dyn_params, dyn_stats, x0_pool, key, 0, 4)
+        pool_sharded = jax.device_put(
+            x0_pool, parallel.particle_sharding(mesh))
+        params_repl = parallel.replicate(pol_params, mesh)
+        p2, _, m2, _ = opt_shard(params_repl, optimizer.init(params_repl),
+                                 dyn_params, dyn_stats, pool_sharded, key,
+                                 0, 4)
+        np.testing.assert_allclose(m1['loss'], m2['loss'], rtol=1e-3,
+                                   atol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3,
+                                                    atol=1e-5), p1, p2)
+
+    def test_sharded_opt_with_mm_runs(self, mesh):
+        dyn, pol, dyn_params, dyn_stats, pol_params = tiny_setup()
+        cfg = MCPILCOConfig(n_particles=16, steps=3, mm_states=True,
+                            mm_rewards=True, mm_groups=8)
+        optimizer = optax.adam(1e-3)
+        opt = parallel.make_sharded_mc_pilco_fn(dyn, pol, cfg, optimizer,
+                                                mesh)
+        x0_pool = 0.01 * jax.random.normal(jax.random.PRNGKey(1), (8, 4))
+        _, _, metrics, _ = opt(pol_params, optimizer.init(pol_params),
+                               dyn_params, dyn_stats, x0_pool,
+                               jax.random.PRNGKey(2), 0, 3)
+        assert np.all(np.isfinite(metrics['loss']))
