@@ -13,3 +13,8 @@ __all__ = [
     'CategoricalDensity', 'TanhSquashedDensity', 'Regressor', 'Policy',
     'DynamicsModel', 'fit_stats', 'init_stats',
 ]
+from .conditional_density import (ConditionalDensityModel, GaussianDN,
+                                  GaussianMDN, SoftmaxDN,
+                                  RelaxedSoftmaxDN, density_network_mlp,
+                                  mixture_density_network_mlp,
+                                  fit_scaling, whiten)

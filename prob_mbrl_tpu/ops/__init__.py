@@ -12,3 +12,5 @@ __all__ = [
     'clip_grad_norm', 'mm_resample', 'mm_resample_infer_ns', 'grouped',
     'particle_moments',
 ]
+from . import distributions
+from .math import small_cholesky

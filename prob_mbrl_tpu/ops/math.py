@@ -20,6 +20,42 @@ def softplus_upper_clip(x, upper):
     return -jax.nn.softplus(-x + upper) + upper
 
 
+def small_cholesky(S):
+    """Unrolled Cholesky-Banachiewicz for small D, batched over leading dims.
+
+    ``jnp.linalg.cholesky`` lowers to a blocked factorization kernel that is
+    enormously over-provisioned for the DxD particle-covariance matrices of
+    the MM hot loop (D = a state dim, 1-16). Unrolling over columns emits a
+    handful of elementwise/reduce ops that XLA fuses into the surrounding
+    rollout step — no kernel launch, VPU-only. Differentiable through the
+    plain jnp ops; NaN on non-PD inputs (sqrt of negative), matching the
+    failure semantics `safe_cholesky` relies on.
+    """
+    D = S.shape[-1]
+    if D == 1:
+        return jnp.sqrt(S)
+    cols = []
+    for j in range(D):
+        if j:
+            Lj = jnp.stack([c[..., j] for c in cols], -1)  # row j of L, [..., j]
+            r = S[..., j, j] - jnp.sum(Lj * Lj, -1)
+        else:
+            Lj = None
+            r = S[..., j, j]
+        ljj = jnp.sqrt(r)
+        below = S[..., :, j]
+        if j:
+            # subtract L[..., :, :j] @ L[..., j, :j]
+            Lprev = jnp.stack(cols, -1)  # [..., D, j]
+            below = below - jnp.einsum('...ik,...k->...i', Lprev, Lj)
+        col = below / ljj[..., None]
+        # zero out the strictly-upper part of this column
+        mask = (jnp.arange(D) >= j).astype(S.dtype)
+        col = jnp.where(jnp.arange(D) == j, ljj[..., None], col) * mask
+        cols.append(col)
+    return jnp.stack(cols, -1)
+
+
 def safe_cholesky(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
     """Cholesky with escalating diagonal jitter, jit-compatible AND
     differentiable at rank-deficient inputs.
@@ -60,10 +96,11 @@ def safe_cholesky(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
     jitters = initial_jitter * (factor ** jnp.arange(max_tries,
                                                      dtype=S.dtype))
 
-    def attempt(i):
-        return jnp.linalg.cholesky(S_ng + (jitters[i] * scale) * eye)
+    chol = small_cholesky if D <= 16 else jnp.linalg.cholesky
 
-    Ls = jnp.stack([attempt(i) for i in range(max_tries)])
+    # all attempts in one batched factorization: [tries, ..., D, D]
+    jit_b = jitters.reshape((max_tries,) + (1,) * S.ndim)
+    Ls = chol(S_ng + (jit_b * scale) * eye)
     diags = jnp.diagonal(Ls, axis1=-2, axis2=-1)
     finite = jnp.isfinite(Ls).all(axis=tuple(range(1, Ls.ndim)))
     # pivots bounded away from zero => bounded backward pass
@@ -72,7 +109,7 @@ def safe_cholesky(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
     ok = finite & conditioned
     first_ok = jnp.argmax(ok)
     idx = jnp.where(ok.any(), first_ok, max_tries - 1)
-    return jnp.linalg.cholesky(S + (jitters[idx] * scale) * eye)
+    return chol(S + (jitters[idx] * scale) * eye)
 
 
 def clip_grad_norm(grads, max_norm, eps=1e-6):

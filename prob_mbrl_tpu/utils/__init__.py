@@ -11,3 +11,4 @@ __all__ = [
     'train_regressor', 'normalize_dataset', 'ExperienceDataset', 'SumTree',
     'apply_controller', 'polyak_averaging', 'sin_squashing_fn', 'tile',
 ]
+from .train_model import make_train_model_fn, train_model

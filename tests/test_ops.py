@@ -178,3 +178,24 @@ def test_clip_grad_norm():
     out = ops.clip_grad_norm(small, 1.0)
     np.testing.assert_allclose(np.asarray(out['a']),
                                np.asarray(small['a']), rtol=1e-5)
+
+
+class TestSmallCholesky:
+    def test_matches_lapack_forward_and_pullback(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from prob_mbrl_tpu.ops.math import small_cholesky
+        rng = np.random.RandomState(0)
+        for D in (1, 2, 5, 16):
+            A = jnp.asarray(rng.randn(7, D, D + 3))
+
+            def f(A, chol):
+                return jnp.sum(jnp.sin(chol(A @ jnp.swapaxes(A, -1, -2))))
+
+            np.testing.assert_allclose(
+                f(A, small_cholesky), f(A, jnp.linalg.cholesky), rtol=1e-5)
+            g1 = jax.grad(lambda A: f(A, small_cholesky))(A)
+            g2 = jax.grad(lambda A: f(A, jnp.linalg.cholesky))(A)
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                       rtol=2e-3, atol=1e-5)
