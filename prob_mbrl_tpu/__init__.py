@@ -7,7 +7,8 @@ TPU-first: pure-functional models with explicit noise-state pytrees,
 ``lax.scan`` rollout engines, end-to-end jitted training loops, and
 device-mesh sharding for multi-chip scale.
 """
-from . import ops, models
+from . import ops, models, optim, envs, utils, algorithms, parallel
 
 __version__ = '0.1.0'
-__all__ = ['ops', 'models']
+__all__ = ['ops', 'models', 'optim', 'envs', 'utils', 'algorithms',
+           'parallel']
