@@ -347,7 +347,19 @@ def mc_pilco(x0_pool, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
                 tree.update(int(ti), float(p))
             tree.renormalize()
         if callable(on_iteration):
-            on_iteration(done + n, metrics)
+            # hooks that accept the live policy params (e.g. the TD(H)
+            # critic refit, `deep_pilco_no_mm_with_value.py:380-400`) get
+            # them; two-arg hooks keep working
+            import inspect
+            try:
+                n_hook_args = len(inspect.signature(
+                    on_iteration).parameters)
+            except (TypeError, ValueError):
+                n_hook_args = 2
+            if n_hook_args >= 3:
+                on_iteration(done + n, metrics, pol_params)
+            else:
+                on_iteration(done + n, metrics)
         done += n
 
     merged = {k: np.concatenate([m[k] for m in all_metrics])

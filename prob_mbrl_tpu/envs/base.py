@@ -196,6 +196,10 @@ class GymEnv:
     def observation_size(self):
         return embedded_size(self.model.state_size, self.angle_dims)
 
+    @property
+    def action_size(self):
+        return self.model.action_size
+
     def batch_step(self, states, actions):
         """Vectorized on-device ground-truth step: [B, D], [B, U] -> [B, D]."""
         return jax.vmap(

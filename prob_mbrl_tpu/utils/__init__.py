@@ -12,3 +12,9 @@ __all__ = [
     'apply_controller', 'polyak_averaging', 'sin_squashing_fn', 'tile',
 ]
 from .train_model import make_train_model_fn, train_model
+from .experiments import (get_argument_parser, init_env,
+                          init_output_folder, load_csv)
+from .checkpoint import (save_checkpoint, load_checkpoint, save_pytree,
+                         load_pytree)
+from .plotting import (plot_sample, plot_mean_var, plot_trajectories,
+                       plot_rollout)

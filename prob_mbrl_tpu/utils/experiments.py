@@ -1,0 +1,89 @@
+"""Experiment scaffolding: shared flags, env construction, run folders.
+
+Mirrors `prob_mbrl/utils/experiments.py:11-82` with JAX-native seeding
+(a PRNGKey derived from --seed instead of global torch/numpy seeding) and
+TPU-relevant flags (mesh size, dtype) replacing --use_cuda.
+"""
+import argparse
+import datetime
+import os
+
+import numpy as np
+
+from .. import envs
+
+
+def load_csv(s):
+    """CSV shape flags: '200,200' -> [200, 200] (`utils/core.py:193-197`)."""
+    if isinstance(s, (list, tuple)):
+        return list(s)
+    if isinstance(s, (int, float)):
+        return s
+    return [int(x) for x in str(s).split(',') if x != '']
+
+
+def get_argument_parser(title=''):
+    """Shared experiment flags (`experiments.py:11-54`)."""
+    parser = argparse.ArgumentParser(title)
+    parser.add_argument('-e', '--env', type=str, default='Cartpole')
+    parser.add_argument('-o', '--output_folder', type=str,
+                        default='~/.prob_mbrl_tpu/')
+    parser.add_argument('-s', '--seed', type=int, default=1)
+    parser.add_argument('--n_initial_epi', type=int, default=0)
+    parser.add_argument('--load_from', type=str, default=None)
+    parser.add_argument('--pred_H', type=int, default=15)
+    parser.add_argument('--control_H', type=int, default=40)
+    parser.add_argument('--discount_factor', type=str, default=None)
+    parser.add_argument('--prioritized_replay', action='store_true')
+    parser.add_argument('--timesteps_to_sample', type=load_csv, default=0)
+    parser.add_argument('--mm_groups', type=int, default=None)
+    parser.add_argument('--debug', action='store_true')
+
+    parser.add_argument('--dyn_lr', type=float, default=1e-4)
+    parser.add_argument('--dyn_opt_iters', type=int, default=2000)
+    parser.add_argument('--dyn_batch_size', type=int, default=100)
+    parser.add_argument('--dyn_drop_rate', type=float, default=0.1)
+    parser.add_argument('--dyn_components', type=int, default=1)
+    parser.add_argument('--dyn_shape', type=load_csv, default=[200, 200])
+
+    parser.add_argument('--pol_lr', type=float, default=1e-3)
+    parser.add_argument('--pol_clip', type=float, default=1.0)
+    parser.add_argument('--pol_drop_rate', type=float, default=0.1)
+    parser.add_argument('--pol_opt_iters', type=int, default=1000)
+    parser.add_argument('--pol_batch_size', type=int, default=100)
+    parser.add_argument('--ps_iters', type=int, default=100)
+    parser.add_argument('--pol_shape', type=load_csv, default=[200, 200])
+
+    parser.add_argument('--plot_level', type=int, default=0)
+    parser.add_argument('--render', action='store_true')
+    parser.add_argument('--learn_reward', action='store_true')
+    parser.add_argument('--keep_best', action='store_true')
+    parser.add_argument('--stop_when_done', action='store_true')
+    parser.add_argument('--expl_noise', type=float, default=0.0)
+    parser.add_argument('--resampling_period', type=int, default=499)
+
+    # TPU-native flags (replace --use_cuda / --num_threads)
+    parser.add_argument('--n_devices', type=int, default=None,
+                        help='shard particles over this many devices')
+    parser.add_argument('--dtype', type=str, default='float32')
+    return parser
+
+
+def init_env(env_name, seed):
+    """Construct an env by registry name and seed it (`experiments.py:57-67`)."""
+    np.random.seed(seed)
+    env = envs.make(env_name)
+    env.seed(seed)
+    return env
+
+
+def init_output_folder(env, output_folder, experiment_name='mc_pilco'):
+    """Timestamped results dir (`experiments.py:70-82`)."""
+    env_name = getattr(getattr(env, 'spec', None), 'id', None) \
+        or env.__class__.__name__
+    output_folder = os.path.expanduser(output_folder)
+    results_folder = os.path.join(
+        output_folder, experiment_name, env_name,
+        datetime.datetime.now().strftime('%Y_%m_%d_%H_%M_%S.%f'))
+    os.makedirs(results_folder, exist_ok=True)
+    return results_folder
