@@ -365,3 +365,86 @@ def mc_pilco(x0_pool, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
     merged = {k: np.concatenate([m[k] for m in all_metrics])
               for k in all_metrics[0]}
     return pol_params, opt_state, merged, n_opt_steps
+
+
+class MCPILCOAgent:
+    """Utility class bundling policy/dynamics specs, params, dataset and
+    optimizers (`mc_pilco.py:270-456`).
+
+    The reference's ``fit_dynamics`` is an empty stub (`mc_pilco.py:449-451`);
+    here it is functional (delegates to the jitted regressor trainer).
+    """
+
+    def __init__(self, policy, dynamics, dataset, pol_optimizer=None,
+                 dyn_optimizer=None, seed=0):
+        self.pol = policy
+        self.dyn = dynamics
+        self.exp = dataset
+        self.pol_optimizer = pol_optimizer or optax.adam(1e-3)
+        self.dyn_optimizer = dyn_optimizer or optax.adam(1e-4)
+        key = jax.random.PRNGKey(seed)
+        kd, kp, self._key = jax.random.split(key, 3)
+        self.dyn_params = self.dyn.init(kd)
+        self.dyn_stats = self.dyn.init_stats()
+        self.pol_params = self.pol.init(kp)
+        self.pol_opt_state = self.pol_optimizer.init(self.pol_params)
+        self.dyn_opt_state = self.dyn_optimizer.init(self.dyn_params)
+        self.policy_update_counter = 0
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def sample_initial_states(self, batch_size, step_idx_to_sample=None,
+                              init_state_noise=0.0):
+        """(`mc_pilco.py:288-295`)"""
+        x0 = self.exp.sample_states(batch_size, timestep=step_idx_to_sample)
+        x0 = np.asarray(x0, np.float32)
+        if init_state_noise > 0:
+            x0 = x0 + init_state_noise * np.random.randn(*x0.shape)
+        return jnp.asarray(x0)
+
+    def fit_dynamics(self, iters=2000, batchsize=100, reg_weight=1.0):
+        """Fit the dynamics model to the dataset (functional, unlike the
+        reference stub)."""
+        from ..utils.train_regressor import train_regressor
+        learn_reward = self.dyn.reward_func is None
+        X, Y = self.exp.get_dynmodel_dataset(deltas=True,
+                                             return_costs=learn_reward)
+        X, Y = jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)
+        self.dyn_stats = self.dyn.fit_stats(X, Y)
+        self.dyn_params, self.dyn_opt_state, metrics = train_regressor(
+            self.dyn.regressor, self.dyn_params, self.dyn_stats, X, Y,
+            self._next_key(), iters=iters, batchsize=batchsize,
+            optimizer=self.dyn_optimizer, opt_state=self.dyn_opt_state,
+            reg_weight=reg_weight)
+        return metrics
+
+    def train(self, steps, batch_size=100, opt_iters=1000, pegasus=True,
+              mm_states=False, mm_rewards=False, maximize=True,
+              clip_grad=1.0, cvar_eps=0.0, reg_weight=0.0, discount=None,
+              on_iteration=None, step_idx_to_sample=None,
+              init_state_noise=0.0, resampling_period=500, **kwargs):
+        """Policy optimization on the learned model (`mc_pilco.py:297-456`)."""
+        x0_pool = self.sample_initial_states(2 * batch_size,
+                                             step_idx_to_sample)
+        (self.pol_params, self.pol_opt_state, metrics,
+         self.policy_update_counter) = mc_pilco(
+            x0_pool, self.dyn, self.pol, steps, self.dyn_params,
+            self.dyn_stats, self.pol_params, opt_state=self.pol_opt_state,
+            optimizer=self.pol_optimizer, opt_iters=opt_iters,
+            pegasus=pegasus, mm_states=mm_states, mm_rewards=mm_rewards,
+            maximize=maximize, clip_grad=clip_grad, cvar_eps=cvar_eps,
+            reg_weight=reg_weight, discount=discount,
+            init_state_noise=init_state_noise,
+            resampling_period=resampling_period, key=self._next_key(),
+            n_opt_steps=self.policy_update_counter,
+            on_iteration=on_iteration, **kwargs)
+        return metrics
+
+    def __call__(self, state, deterministic=True):
+        """Greedy (mean) action for a single host-side state."""
+        s = jnp.asarray(state, jnp.float32).reshape(1, -1)
+        u = self.pol.apply(self.pol_params, s, noise=None,
+                           return_samples=not deterministic)
+        return np.asarray(u).flatten()

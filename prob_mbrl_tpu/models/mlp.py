@@ -44,6 +44,12 @@ class MLPSpec:
     weight_gain: float = 1.4142135623730951  # relu gain, sqrt(2)
     bias_init_scale: float = 0.1  # uniform(-scale, scale)
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16' for MXU-friendly math
+    # spectral normalization of the linear weights (`modules.py:277-344`):
+    # w_sn = max_K * sigmoid(scale) * w / sigma(w), sigma from power iteration
+    spectral_norm: bool = False
+    spectral_norm_output: bool = False
+    sn_max_K: float = 10.0
+    sn_iters: int = 1
 
     def __post_init__(self):
         object.__setattr__(self, 'hidden_dims', tuple(self.hidden_dims))
@@ -70,27 +76,36 @@ class MLPSpec:
         keys = jax.random.split(key, 2 * n_layers + len(self.hidden_dims) + 1)
         ki = iter(range(len(keys)))
 
-        def linear(kw, kb, din, dout, bias):
+        def linear(kw, kb, din, dout, bias, sn=False):
             std = self.weight_gain * jnp.sqrt(2.0 / (din + dout))
             p = {'w': std * jax.random.normal(keys[kw], (din, dout), dtype)}
             if bias:
                 p['b'] = jax.random.uniform(
                     keys[kb], (dout,), dtype,
                     -self.bias_init_scale, self.bias_init_scale)
+            if sn:
+                # power-iteration buffers + trainable log-scale
+                # (`modules.py:308-320`)
+                u = jax.random.normal(jax.random.fold_in(keys[kw], 1),
+                                      (din,), dtype)
+                p['sn_u'] = u / (jnp.linalg.norm(u) + 1e-12)
+                p['sn_scale'] = jnp.zeros((1,), dtype)
             return p
 
         if self.input_dropout is not None:
             params['drop_in'] = self.input_dropout.init(self.input_dims, dtype)
         for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
             params[f'linear_{i}'] = linear(next(ki), next(ki), din, dout,
-                                           self.hidden_biases)
+                                           self.hidden_biases,
+                                           sn=self.spectral_norm)
             if self.layer_norm:
                 params[f'ln_{i}'] = {'scale': jnp.ones((dout,), dtype),
                                      'bias': jnp.zeros((dout,), dtype)}
             if self.dropout[i] is not None:
                 params[f'drop_{i}'] = self.dropout[i].init(dout, dtype)
         params['linear_out'] = linear(next(ki), next(ki), dims[-1],
-                                      self.output_dims, self.output_biases)
+                                      self.output_dims, self.output_biases,
+                                      sn=self.spectral_norm_output)
         return params
 
     # ---- noise ------------------------------------------------------------
@@ -120,6 +135,20 @@ class MLPSpec:
 
         def linear(p, h):
             w, b = p['w'], p.get('b')
+            if 'sn_u' in p:
+                # spectral normalization (`modules.py:324-341`): u/v power
+                # iterations from the stored buffer under stop_gradient,
+                # differentiable through sigma = u^T w v
+                u = jax.lax.stop_gradient(p['sn_u'])
+                w_ng = jax.lax.stop_gradient(w)
+                for _ in range(self.sn_iters):
+                    v = w_ng.T @ u
+                    v = v / (jnp.linalg.norm(v) + 1e-12)
+                    u = w_ng @ v
+                    u = u / (jnp.linalg.norm(u) + 1e-12)
+                sigma = u @ (w @ v)
+                K = self.sn_max_K * jax.nn.sigmoid(p['sn_scale'])
+                w = K * w / sigma
             if cdt is not None:
                 h = jnp.dot(h.astype(cdt), w.astype(cdt),
                             preferred_element_type=jnp.float32)

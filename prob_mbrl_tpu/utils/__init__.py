@@ -1,5 +1,6 @@
 """Training/rollout runtime utilities (reference layer: `prob_mbrl/utils/`)."""
-from .rollout import rollout, make_rollout_fn, get_z_rnd
+from .rollout import (rollout, make_rollout_fn, get_z_rnd,
+                      rollout_with_values, rollout_with_Qvalues)
 from .train_regressor import (make_train_fn, train_regressor,
                               normalize_dataset)
 from .experience import ExperienceDataset, SumTree

@@ -54,7 +54,7 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
             mm_states=False, mm_rewards=False, infer_noise_variables=False,
             z_mm=None, z_rr=None, mm_groups=None,
             resample_state_noise=False, resample_action_noise=False,
-            key=None, value_fn=None, action_eps=None):
+            key=None, value_fn=None, q_fn=None, action_eps=None):
     """Roll imagined particles through the learned dynamics under the policy.
 
     Args:
@@ -78,6 +78,10 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
         (a Regressor.apply partial-ed with its params/stats/noise). When
         given, per-step V(s) samples are returned too, matching
         ``rollout_with_values`` (`rollout.py:166-227`).
+      q_fn: optional jittable closure ``(states, actions) -> q [B, 1]``;
+        per-step Q(s, a) samples are appended, matching
+        ``rollout_with_Qvalues`` (`rollout.py:230-295`). The terminal entry
+        evaluates Q at the last state with a fresh policy action.
       action_eps: optional [T, B, U] perturbation added to the actions each
         step. Pass zeros and differentiate the loss w.r.t. it to read off
         per-step action gradients — the jit-native replacement for the
@@ -106,6 +110,16 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
     if action_eps is not None:
         xs['action_eps'] = action_eps
 
+    # Pre-roll the cyclic PEGASUS noise for every step OUTSIDE the scan:
+    # one [T, B, D] gather at trace time instead of a per-step dynamic
+    # gather (whose backward is a scatter) inside the hot loop.
+    if mm_states:
+        tb = (jnp.arange(steps)[:, None] + jnp.arange(B)[None, :]) % B
+        xs['z_mm'] = z_mm[tb]
+    if mm_rewards:
+        tb = (jnp.arange(steps)[:, None] + jnp.arange(B)[None, :]) % B
+        xs['z_rr'] = z_rr[tb]
+
     def step(states, step_xs):
         t = step_xs['t']
         d_noise = dict(dyn_noise)
@@ -123,16 +137,18 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
             return_samples=True, separate_outputs=True, deltas=False)
 
         if mm_states:
-            z1 = get_z_rnd(z_mm, t, B)
-            next_states = _mm_step(next_states, z1, mm_groups,
+            next_states = _mm_step(next_states, step_xs['z_mm'], mm_groups,
                                    infer_noise_variables)
         if mm_rewards:
-            z2 = get_z_rnd(z_rr, t, B)
-            rewards = _mm_step(rewards, z2, mm_groups, infer_noise_variables)
+            rewards = _mm_step(rewards, step_xs['z_rr'], mm_groups,
+                               infer_noise_variables)
 
         out = {'states': states, 'actions': actions, 'rewards': rewards}
         if value_fn is not None:
             out['values'] = value_fn(jax.lax.stop_gradient(states))
+        if q_fn is not None:
+            out['qvalues'] = q_fn(jax.lax.stop_gradient(states),
+                                  jax.lax.stop_gradient(actions))
         return next_states, out
 
     last_states, traj = jax.lax.scan(step, x0, xs)
@@ -141,7 +157,44 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
     if value_fn is not None:
         v_last = value_fn(last_states)
         result.append(jnp.concatenate([traj['values'], v_last[None]], 0))
+    if q_fn is not None:
+        last_actions = pol.apply(pol_params, last_states, pol_noise,
+                                 return_samples=True)
+        q_last = q_fn(jax.lax.stop_gradient(last_states),
+                      jax.lax.stop_gradient(last_actions))
+        result.append(jnp.concatenate([traj['qvalues'], q_last[None]], 0))
     return tuple(result)
+
+
+def rollout_with_values(x0, dyn, pol, steps, V, dyn_params, dyn_stats,
+                        pol_params, dyn_noise, pol_noise, value_params,
+                        value_stats, value_noise=None, **kwargs):
+    """Rollout + per-step V(s) samples (`rollout.py:166-227`).
+
+    Returns (states [T+1, B, D], actions, rewards, values [T+1, B, 1]).
+    """
+    def value_fn(states):
+        return V.apply(value_params, value_stats, states, value_noise,
+                       return_samples=True)
+
+    return rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
+                   dyn_noise, pol_noise, value_fn=value_fn, **kwargs)
+
+
+def rollout_with_Qvalues(x0, dyn, pol, steps, Q, dyn_params, dyn_stats,
+                         pol_params, dyn_noise, pol_noise, q_params, q_stats,
+                         q_noise=None, **kwargs):
+    """Rollout + per-step Q(s, a) samples (`rollout.py:230-295`).
+
+    Returns (states, actions, rewards, qvalues [T+1, B, 1]); the terminal
+    Q evaluates a fresh policy action at the last state.
+    """
+    def q_fn(states, actions):
+        sa = jnp.concatenate([states, actions], -1)
+        return Q.apply(q_params, q_stats, sa, q_noise, return_samples=True)
+
+    return rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
+                   dyn_noise, pol_noise, q_fn=q_fn, **kwargs)
 
 
 def make_rollout_fn(dyn, pol, steps, mm_states=False, mm_rewards=False,

@@ -215,3 +215,59 @@ class TestMBDDPG:
         assert np.isfinite(hist[-1]['critic_loss'])
         u = agent(np.zeros(5))
         assert u.shape == (1,) and np.all(np.abs(u) <= 10.0)
+
+
+class TestRolloutWithValues:
+    def test_values_and_qvalues_shapes(self):
+        from prob_mbrl_tpu.utils.rollout import (rollout_with_values,
+                                                 rollout_with_Qvalues)
+        dyn, pol, dyn_params, dyn_stats, pol_params = tiny_setup()
+        B, T, D = 8, 4, 4
+        V = models.Regressor(
+            mlp=models.MLPSpec(D, 2, (8,), dropout=models.cdropout(0.1)),
+            output_density=models.DiagGaussianDensity(1))
+        Q = models.Regressor(
+            mlp=models.MLPSpec(D + 1, 2, (8,), dropout=models.cdropout(0.1)),
+            output_density=models.DiagGaussianDensity(1))
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 6)
+        x0 = 0.01 * jax.random.normal(ks[0], (B, D))
+        dnoise = dyn.sample_noise(ks[1], (B,))
+        pnoise = pol.sample_noise(ks[2], (B,))
+        v_params = V.init(ks[3])
+        vnoise = V.sample_noise(ks[4], (B,))
+        states, actions, rewards, values = rollout_with_values(
+            x0, dyn, pol, T, V, dyn_params, dyn_stats, pol_params, dnoise,
+            pnoise, v_params, V.init_stats(), vnoise)
+        assert values.shape == (T + 1, B, 1)
+        assert np.all(np.isfinite(np.asarray(values)))
+
+        q_params = Q.init(ks[5])
+        qnoise = Q.sample_noise(ks[4], (B,))
+        states, actions, rewards, qvalues = rollout_with_Qvalues(
+            x0, dyn, pol, T, Q, dyn_params, dyn_stats, pol_params, dnoise,
+            pnoise, q_params, Q.init_stats(), qnoise)
+        assert qvalues.shape == (T + 1, B, 1)
+        assert np.all(np.isfinite(np.asarray(qvalues)))
+
+
+class TestMCPILCOAgent:
+    def test_agent_roundtrip(self):
+        from prob_mbrl_tpu.algorithms import MCPILCOAgent
+        from prob_mbrl_tpu.utils.experience import ExperienceDataset
+        dyn, pol, *_ = tiny_setup()
+        exp = ExperienceDataset()
+        rng = np.random.RandomState(0)
+        for ep in range(2):
+            exp.new_episode()
+            for t in range(10):
+                exp.add_sample(rng.randn(4) * 0.1, rng.randn(1),
+                               rng.rand(), False, {}, t)
+        agent = MCPILCOAgent(pol, dyn, exp)
+        m1 = agent.fit_dynamics(iters=20, batchsize=8)
+        assert np.all(np.isfinite(np.asarray(m1['E_lml'])))
+        m2 = agent.train(steps=4, batch_size=8, opt_iters=5)
+        assert len(m2['loss']) == 5
+        assert agent.policy_update_counter == 5
+        u = agent(np.zeros(4))
+        assert u.shape == (1,) and np.isfinite(u).all()
