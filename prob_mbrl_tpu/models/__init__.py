@@ -18,3 +18,7 @@ from .conditional_density import (ConditionalDensityModel, GaussianDN,
                                   RelaxedSoftmaxDN, density_network_mlp,
                                   mixture_density_network_mlp,
                                   fit_scaling, whiten)
+from .transformer import (TransformerDynamicsModel,
+                          TransformerEncoderSpec,
+                          NextStateRewardDoneHeads)
+from .flows import MAFSpec

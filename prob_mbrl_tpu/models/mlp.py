@@ -195,9 +195,9 @@ class MLPSpec:
             return p['w'], p.get('b')
 
         if self.input_dropout is not None:
-            w, b = params['linear_0']['w'], params['linear_0'].get('b')
+            first = params['linear_0'] if n_hidden else params['linear_out']
             reg = reg + self.input_dropout.regularizer(
-                params.get('drop_in', {}), w, b)
+                params.get('drop_in', {}), first['w'], first.get('b'))
         for i, spec in enumerate(self.dropout):
             if spec is not None:
                 w, b = next_linear(i)

@@ -54,7 +54,8 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
             mm_states=False, mm_rewards=False, infer_noise_variables=False,
             z_mm=None, z_rr=None, mm_groups=None,
             resample_state_noise=False, resample_action_noise=False,
-            key=None, value_fn=None, q_fn=None, action_eps=None):
+            key=None, value_fn=None, q_fn=None, action_eps=None,
+            unroll=1):
     """Roll imagined particles through the learned dynamics under the policy.
 
     Args:
@@ -151,7 +152,7 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
                                   jax.lax.stop_gradient(actions))
         return next_states, out
 
-    last_states, traj = jax.lax.scan(step, x0, xs)
+    last_states, traj = jax.lax.scan(step, x0, xs, unroll=unroll)
     states = jnp.concatenate([traj['states'], last_states[None]], 0)
     result = [states, traj['actions'], traj['rewards']]
     if value_fn is not None:
