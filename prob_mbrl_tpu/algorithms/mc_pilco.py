@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import optax
 
 from ..ops.math import clip_grad_norm
+from ..ops.moment_matching import sample_mm_mixing
 from ..utils.rollout import rollout as rollout_fn
 from ..utils.experience import SumTree
 from ..utils.core import tile
@@ -90,6 +91,9 @@ class MCPILCOConfig:
     mm_states: bool = False
     mm_rewards: bool = False
     mm_groups: Optional[int] = None
+    # 'mix' = TPU-native orthogonal particle mixing (exact moments, one MXU
+    # matmul per MM step); 'cholesky' = reference-exact m + z @ chol(S)^T.
+    mm_method: str = 'mix'
     infer_noise_variables: bool = False
     maximize: bool = True
     clip_grad: Optional[float] = 1.0
@@ -150,18 +154,33 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         def constrain_time_particles(x):
             return x
 
+    use_mix = (cfg.mm_method == 'mix' and not cfg.infer_noise_variables)
+
     def sample_all_noise(epoch_key, D):
         kd, kp, kv, kz1, kz2 = jax.random.split(epoch_key, 5)
         dyn_noise = dyn.sample_noise(kd, (B,))
         pol_noise = pol.sample_noise(kp, (B,))
-        z_mm = jax.random.normal(kz1, (B, D))
-        z_rr = jax.random.normal(kz2, (B, 1))
+        if use_mix:
+            # fixed noise = orthogonal particle-mixing matrices (PEGASUS)
+            z_mm = sample_mm_mixing(kz1, B, cfg.mm_groups)
+            z_rr = sample_mm_mixing(kz2, B, cfg.mm_groups)
+        else:
+            z_mm = jax.random.normal(kz1, (B, D))
+            z_rr = jax.random.normal(kz2, (B, 1))
         value_noise = (value_spec.sample_noise(kv, (B,))
                        if value_spec is not None else None)
-        # every noise leaf is per-particle (leading axis B) -> shard it
-        return jax.tree_util.tree_map(
-            constrain_particles,
-            (dyn_noise, pol_noise, value_noise, z_mm, z_rr))
+        return (dyn_noise, pol_noise, value_noise, z_mm, z_rr)
+
+    def constrain_noise(noise):
+        # every per-particle noise leaf (leading axis B) gets sharded; the
+        # mixing matrices stay replicated (GSPMD shards the MM matmul itself)
+        dyn_noise, pol_noise, value_noise, z_mm, z_rr = noise
+        dyn_noise, pol_noise, value_noise = jax.tree_util.tree_map(
+            constrain_particles, (dyn_noise, pol_noise, value_noise))
+        if not use_mix:
+            z_mm = constrain_particles(z_mm)
+            z_rr = constrain_particles(z_rr)
+        return (dyn_noise, pol_noise, value_noise, z_mm, z_rr)
 
     def loss_fn(pol_params, action_eps, x0, dyn_params, dyn_stats, noise,
                 step_key, value_params, value_stats):
@@ -179,7 +198,7 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
             mm_states=cfg.mm_states, mm_rewards=cfg.mm_rewards,
             infer_noise_variables=cfg.infer_noise_variables,
             z_mm=z_mm, z_rr=z_rr,
-            mm_groups=cfg.mm_groups,
+            mm_groups=cfg.mm_groups, mm_method=cfg.mm_method,
             resample_state_noise=not cfg.pegasus,
             resample_action_noise=not cfg.pegasus,
             key=step_key, action_eps=action_eps)
@@ -201,9 +220,8 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         return loss, mean_return
 
     def iteration(pol_params, opt_state, dyn_params, dyn_stats, x0_pool,
-                  epoch_key, iter_key, value_params, value_stats):
-        D = x0_pool.shape[-1]
-        noise = sample_all_noise(epoch_key, D)
+                  noise, iter_key, value_params, value_stats):
+        noise = constrain_noise(noise)
 
         kx, kn, ks = jax.random.split(iter_key, 3)
         # sample initial states from the pool (`mc_pilco.py:247-260`)
@@ -252,6 +270,21 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         # so masks stay pinned across chunked calls exactly like the
         # reference's `policy_update_counter` bookkeeping (`mc_pilco.py:78,91`).
         pegasus_key = jax.random.fold_in(key, 0x5EED)
+        D = x0_pool.shape[-1]
+
+        if cfg.pegasus:
+            # PEGASUS noise only changes every `resampling_period` steps, so
+            # sample a bank of per-epoch noise pytrees ONCE, outside the scan
+            # (the QR for the MM mixing matrices and the dropout-mask draws
+            # would otherwise re-run every iteration inside the hot loop).
+            # Epochs touched by [n0, n0+iters) fit in a static-size bank.
+            n_epochs = iters // cfg.resampling_period + 2
+            first_epoch = n_opt_steps // cfg.resampling_period
+            epoch_keys = jax.vmap(
+                lambda e: jax.random.fold_in(pegasus_key, first_epoch + e))(
+                    jnp.arange(n_epochs))
+            noise_bank = jax.vmap(
+                lambda k: sample_all_noise(k, D))(epoch_keys)
 
         def step(carry, i):
             del i
@@ -260,13 +293,15 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
             # loops reproduce the single-launch stream exactly
             iter_key = jax.random.fold_in(key, n)
             if cfg.pegasus:
-                epoch_key = jax.random.fold_in(pegasus_key,
-                                               n // cfg.resampling_period)
+                e = n // cfg.resampling_period - first_epoch
+                noise = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, e, keepdims=False), noise_bank)
             else:
-                epoch_key = iter_key
+                noise = sample_all_noise(iter_key, D)
             pol_params, opt_state, metrics = iteration(
                 pol_params, opt_state, dyn_params, dyn_stats, x0_pool,
-                epoch_key, iter_key, value_params, value_stats)
+                noise, iter_key, value_params, value_stats)
             return (pol_params, opt_state, n + 1), metrics
 
         (pol_params, opt_state, n_opt_steps), metrics = jax.lax.scan(
@@ -280,6 +315,7 @@ def mc_pilco(x0_pool, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
              opt_state=None, optimizer=None, exp=None, opt_iters=1000,
              value_spec=None, value_params=None, value_stats=None,
              pegasus=True, mm_states=False, mm_rewards=False, mm_groups=None,
+             mm_method='mix',
              maximize=True, clip_grad=1.0, cvar_eps=0.0, reg_weight=0.0,
              discount=None, init_state_noise=0.0, resampling_period=499,
              n_particles=100, key=None, n_opt_steps=0, on_iteration=None,
@@ -304,6 +340,7 @@ def mc_pilco(x0_pool, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
     cfg = MCPILCOConfig(
         n_particles=n_particles, steps=steps, pegasus=pegasus,
         mm_states=mm_states, mm_rewards=mm_rewards, mm_groups=mm_groups,
+        mm_method=mm_method,
         maximize=maximize, clip_grad=clip_grad, cvar_eps=cvar_eps,
         reg_weight=reg_weight, discount=discount,
         init_state_noise=init_state_noise,

@@ -74,3 +74,102 @@ def grouped(mm_fn, samples, z, mm_groups, jitter=1e-12):
     s = mm_fn(samples.reshape(mm_groups, -1, D), z.reshape(mm_groups, -1, zD),
               jitter)
     return s.reshape(-1, D)
+
+
+# ---------------------------------------------------------------------------
+# Orthogonal-mixing moment matching (TPU-first redesign, no Cholesky)
+# ---------------------------------------------------------------------------
+#
+# The reference kernel (`rollout.py:20-29`) resamples as ``m + z @ chol(S)^T``
+# — a D x D Cholesky inside the sequential rollout scan, which lowers to a
+# long chain of tiny scalar ops on TPU and whose matched covariance is itself
+# only approximate (the standardized noise Gram ``z^T z/(M-1)`` has O(1/sqrt M)
+# off-diagonal error). The TPU-native kernel below instead mixes the particle
+# cloud in *particle-index space* with a fixed random orthogonal matrix U that
+# fixes the ones vector (U @ 1 = 1):
+#
+#     x_new = m + U @ (x - m)
+#
+# Because U is orthogonal and preserves the ones direction, the resampled
+# cloud has EXACTLY the empirical mean and covariance of the input cloud
+# (better than the reference), each output particle is a random unit-norm
+# recombination of all M inputs (CLT-Gaussianizing the cloud, which is the
+# point of moment matching), gradients flow to every input particle through
+# the differentiable (m, x - m), and the whole step is one MXU matmul —
+# no Cholesky, no PSD failure modes, no jitter escalation.
+#
+# PEGASUS determinism: U plays the role of the fixed noise ``z`` — sampled
+# once per noise epoch (`mc_pilco.py:64-74`) and reused, stop-gradient like
+# the reference's standardized z.
+
+
+def sample_mm_mixing(key, n_particles, mm_groups=None, dtype=jnp.float32):
+    """Sample a Haar-random orthogonal mixing matrix with ``U @ 1 = 1``.
+
+    Construction: ``U = V (1 ⊕ H) V`` where H is Haar-orthogonal on
+    R^(M-1) (QR of a Gaussian with the sign fix of Mezzadri 2007) and V is
+    the Householder reflection mapping ``e_1 -> 1/sqrt(M)``. Then
+    ``U @ 1 = U^T @ 1 = 1`` and U restricted to the centered subspace is
+    Haar-uniform.
+
+    Args:
+      key: PRNG key.
+      n_particles: total particle count M.
+      mm_groups: if given, returns ``[groups, M/groups, M/groups]``
+        independent per-group mixings (groups map onto device shards).
+      dtype: matrix dtype.
+
+    Returns:
+      ``[M, M]`` (or ``[groups, M/groups, M/groups]``) orthogonal mixing.
+    """
+    if mm_groups is not None:
+        group_size = n_particles // mm_groups
+        keys = jax.random.split(key, mm_groups)
+        return jax.vmap(
+            lambda k: sample_mm_mixing(k, group_size, dtype=dtype))(keys)
+
+    M = n_particles
+    if M == 1:
+        return jnp.ones((1, 1), dtype)
+    A = jax.random.normal(key, (M - 1, M - 1), dtype)
+    Q, R = jnp.linalg.qr(A)
+    Q = Q * jnp.sign(jnp.diagonal(R))[None, :]
+    H = jnp.zeros((M, M), dtype).at[0, 0].set(1.0).at[1:, 1:].set(Q)
+    e1 = jnp.zeros((M,), dtype).at[0].set(1.0)
+    w = jnp.ones((M,), dtype) / jnp.sqrt(jnp.asarray(M, dtype))
+    u = e1 - w
+    u = u / jnp.linalg.norm(u)
+    V = jnp.eye(M, dtype=dtype) - 2.0 * jnp.outer(u, u)
+    # full-precision products: U is built once per PEGASUS epoch, and bf16
+    # MXU passes would cost ~1e-3 orthogonality error for no speedup that
+    # matters here
+    return jnp.matmul(jnp.matmul(V, H, precision='highest'), V,
+                      precision='highest')
+
+
+def mm_resample_mix(samples, U):
+    """Moment-match by orthogonal particle mixing: ``m + U @ (x - m)``.
+
+    Exactly preserves the empirical mean and covariance of ``samples`` for
+    any ``U`` from :func:`sample_mm_mixing`. Drop-in TPU-fast replacement for
+    :func:`mm_resample` (`rollout.py:20-29`): the fixed noise is the mixing
+    matrix instead of a z-buffer.
+
+    Args:
+      samples: ``[..., M, D]`` particles.
+      U: ``[..., M, M]`` orthogonal mixing fixing the ones vector (PEGASUS
+        noise; stop-gradient is applied here like the reference detaches z).
+
+    Returns:
+      ``[..., M, D]`` resampled particles, differentiable wrt samples.
+    """
+    m = jnp.mean(samples, -2, keepdims=True)
+    U = jax.lax.stop_gradient(U)
+    return m + jnp.matmul(U, samples - m)
+
+
+def grouped_mix(samples, U, mm_groups):
+    """Per-group :func:`mm_resample_mix`: [M, D] with [G, M/G, M/G] mixing."""
+    D = samples.shape[-1]
+    out = mm_resample_mix(samples.reshape(mm_groups, -1, D), U)
+    return out.reshape(-1, D)

@@ -41,7 +41,12 @@ def get_z_rnd(z, i, batch):
     return z[idxs]
 
 
-def _mm_step(x, z, mm_groups, infer_noise_variables, jitter=1e-12):
+def _mm_step(x, z, mm_groups, infer_noise_variables, jitter=1e-12,
+             mm_method='cholesky'):
+    if mm_method == 'mix' and not infer_noise_variables:
+        if mm_groups is not None:
+            return mm.grouped_mix(x, z, mm_groups)
+        return mm.mm_resample_mix(x, z)
     fn = (mm.mm_resample_infer_ns if infer_noise_variables
           else mm.mm_resample)
     if mm_groups is not None:
@@ -49,10 +54,28 @@ def _mm_step(x, z, mm_groups, infer_noise_variables, jitter=1e-12):
     return fn(x, z, jitter)
 
 
+def _mm_mix_rolled(x, U, t, mm_groups):
+    """Mixing MM with the step-indexed cyclic permutation composed in.
+
+    The reference decorrelates consecutive MM steps by cycling its fixed-noise
+    rows (`rollout.py:53-59`); for mixing matrices the equivalent is composing
+    ``Π^t U`` — implemented as a cheap roll of the [M, D] *output* rows, so
+    the in-scan fixed noise stays one [M, M] matrix instead of a per-step
+    [T, M, M] stack.
+    """
+    if mm_groups is not None:
+        out = mm.grouped_mix(x, U, mm_groups)
+        D = x.shape[-1]
+        out = out.reshape(mm_groups, -1, D)
+        out = jnp.roll(out, t, axis=-2)
+        return out.reshape(-1, D)
+    return jnp.roll(mm.mm_resample_mix(x, U), t, axis=-2)
+
+
 def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
             dyn_noise, pol_noise,
             mm_states=False, mm_rewards=False, infer_noise_variables=False,
-            z_mm=None, z_rr=None, mm_groups=None,
+            z_mm=None, z_rr=None, mm_groups=None, mm_method='cholesky',
             resample_state_noise=False, resample_action_noise=False,
             key=None, value_fn=None, q_fn=None, action_eps=None,
             unroll=1):
@@ -69,9 +92,17 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
         masks + density noise). Reuse across calls = fixed random numbers.
       mm_states/mm_rewards: moment-matching resample toggles.
       infer_noise_variables: use the particle-identity-preserving MM kernel.
-      z_mm: [>=B, D] fixed MM noise for states; required if mm_states.
-      z_rr: [>=B, 1] fixed MM noise for rewards; required if mm_rewards.
+      z_mm: fixed MM noise for states; required if mm_states. Shape [>=B, D]
+        for ``mm_method='cholesky'``, or a [B, B] (grouped:
+        [G, B/G, B/G]) orthogonal mixing from ``ops.sample_mm_mixing`` for
+        ``mm_method='mix'``.
+      z_rr: fixed MM noise for rewards (shapes as above with D=1); required
+        if mm_rewards.
       mm_groups: number of independent MM groups (None = all particles).
+      mm_method: 'cholesky' = reference-exact ``m + z @ chol(S)^T``
+        (`rollout.py:20-29`); 'mix' = TPU-native orthogonal particle mixing
+        ``m + U @ (x - m)`` (exact moments, single MXU matmul, no Cholesky
+        in the hot loop — see ``ops.moment_matching``).
       resample_state_noise / resample_action_noise: draw fresh *density* noise
         each step (non-PEGASUS propagation). Requires ``key``.
       key: PRNG key for per-step noise when resampling.
@@ -114,12 +145,16 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
     # Pre-roll the cyclic PEGASUS noise for every step OUTSIDE the scan:
     # one [T, B, D] gather at trace time instead of a per-step dynamic
     # gather (whose backward is a scatter) inside the hot loop.
-    if mm_states:
-        tb = (jnp.arange(steps)[:, None] + jnp.arange(B)[None, :]) % B
-        xs['z_mm'] = z_mm[tb]
-    if mm_rewards:
-        tb = (jnp.arange(steps)[:, None] + jnp.arange(B)[None, :]) % B
-        xs['z_rr'] = z_rr[tb]
+    use_mix = mm_method == 'mix' and not infer_noise_variables
+    if use_mix:
+        pass  # the mixing matrices are closed over; Π^t composed per step
+    else:
+        if mm_states:
+            tb = (jnp.arange(steps)[:, None] + jnp.arange(B)[None, :]) % B
+            xs['z_mm'] = z_mm[tb]
+        if mm_rewards:
+            tb = (jnp.arange(steps)[:, None] + jnp.arange(B)[None, :]) % B
+            xs['z_rr'] = z_rr[tb]
 
     def step(states, step_xs):
         t = step_xs['t']
@@ -138,11 +173,19 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
             return_samples=True, separate_outputs=True, deltas=False)
 
         if mm_states:
-            next_states = _mm_step(next_states, step_xs['z_mm'], mm_groups,
-                                   infer_noise_variables)
+            if use_mix:
+                next_states = _mm_mix_rolled(next_states, z_mm, t, mm_groups)
+            else:
+                next_states = _mm_step(next_states, step_xs['z_mm'],
+                                       mm_groups, infer_noise_variables,
+                                       mm_method=mm_method)
         if mm_rewards:
-            rewards = _mm_step(rewards, step_xs['z_rr'], mm_groups,
-                               infer_noise_variables)
+            if use_mix:
+                rewards = _mm_mix_rolled(rewards, z_rr, t, mm_groups)
+            else:
+                rewards = _mm_step(rewards, step_xs['z_rr'], mm_groups,
+                                   infer_noise_variables,
+                                   mm_method=mm_method)
 
         out = {'states': states, 'actions': actions, 'rewards': rewards}
         if value_fn is not None:
@@ -200,6 +243,7 @@ def rollout_with_Qvalues(x0, dyn, pol, steps, Q, dyn_params, dyn_stats,
 
 def make_rollout_fn(dyn, pol, steps, mm_states=False, mm_rewards=False,
                     infer_noise_variables=False, mm_groups=None,
+                    mm_method='cholesky',
                     resample_state_noise=False, resample_action_noise=False):
     """Build a jittable rollout closure with static config baked in."""
 
@@ -210,6 +254,7 @@ def make_rollout_fn(dyn, pol, steps, mm_states=False, mm_rewards=False,
                        mm_rewards=mm_rewards,
                        infer_noise_variables=infer_noise_variables,
                        z_mm=z_mm, z_rr=z_rr, mm_groups=mm_groups,
+                       mm_method=mm_method,
                        resample_state_noise=resample_state_noise,
                        resample_action_noise=resample_action_noise, key=key)
 

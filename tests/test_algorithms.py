@@ -133,6 +133,40 @@ class TestMCPILCO:
                                value_params=v_params, value_stats=v_stats)
         assert np.all(np.isfinite(metrics['loss']))
 
+    def test_mm_methods_both_compile_and_learn(self):
+        # 'mix' (TPU-native orthogonal mixing) and 'cholesky'
+        # (reference-exact) must both run finite through the jitted optimizer
+        dyn, pol, dyn_params, dyn_stats, pol_params = tiny_setup()
+        optimizer = optax.adam(1e-3)
+        x0_pool = 0.01 * jax.random.normal(jax.random.PRNGKey(1), (8, 4))
+        for method in ('mix', 'cholesky'):
+            cfg = MCPILCOConfig(n_particles=16, steps=4, mm_states=True,
+                                mm_rewards=True, mm_method=method)
+            opt = make_mc_pilco_fn(dyn, pol, cfg, optimizer)
+            _, _, metrics, _ = opt(pol_params, optimizer.init(pol_params),
+                                   dyn_params, dyn_stats, x0_pool,
+                                   jax.random.PRNGKey(2), 0, 4)
+            assert np.all(np.isfinite(metrics['loss'])), method
+
+    def test_rollout_mix_mm_preserves_step_moments(self):
+        from prob_mbrl_tpu.utils.rollout import rollout
+        from prob_mbrl_tpu import ops
+        dyn, pol, dyn_params, dyn_stats, pol_params = tiny_setup()
+        B = 32
+        key = jax.random.PRNGKey(0)
+        dyn_noise = dyn.sample_noise(jax.random.fold_in(key, 1), (B,))
+        pol_noise = pol.sample_noise(jax.random.fold_in(key, 2), (B,))
+        U_s = ops.sample_mm_mixing(jax.random.fold_in(key, 3), B)
+        U_r = ops.sample_mm_mixing(jax.random.fold_in(key, 4), B)
+        x0 = 0.05 * jax.random.normal(jax.random.fold_in(key, 5), (B, 4))
+        states, actions, rewards = rollout(
+            x0, dyn, pol, 4, dyn_params, dyn_stats, pol_params,
+            dyn_noise, pol_noise, mm_states=True, mm_rewards=True,
+            z_mm=U_s, z_rr=U_r, mm_method='mix')
+        assert states.shape == (5, B, 4)
+        assert np.all(np.isfinite(np.asarray(states)))
+        assert np.all(np.isfinite(np.asarray(rewards)))
+
     def test_host_loop_with_priorities(self):
         dyn, pol, dyn_params, dyn_stats, pol_params = tiny_setup()
         x0_pool = 0.01 * np.random.RandomState(0).randn(32, 4).astype(

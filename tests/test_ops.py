@@ -167,6 +167,60 @@ def test_grouped_mm_shapes():
     assert out.shape == (100, 4)
 
 
+def test_sample_mm_mixing_orthogonal_and_fixes_ones():
+    M = 64
+    U = np.asarray(ops.sample_mm_mixing(jax.random.PRNGKey(0), M), np.float64)
+    np.testing.assert_allclose(U @ np.ones(M), np.ones(M), atol=1e-4)
+    np.testing.assert_allclose(U @ U.T, np.eye(M), atol=1e-4)
+
+
+def test_sample_mm_mixing_grouped_shape():
+    U = ops.sample_mm_mixing(jax.random.PRNGKey(0), 64, mm_groups=4)
+    assert U.shape == (4, 16, 16)
+    for g in range(4):
+        Ug = np.asarray(U[g], np.float64)
+        np.testing.assert_allclose(Ug @ np.ones(16), np.ones(16), atol=1e-4)
+        np.testing.assert_allclose(Ug @ Ug.T, np.eye(16), atol=1e-4)
+
+
+def test_mm_resample_mix_preserves_moments_exactly():
+    # the orthogonal-mixing kernel matches BOTH empirical moments exactly
+    # (the reference/cholesky kernel only matches covariance to O(1/sqrt(M)))
+    rng = np.random.RandomState(5)
+    samples = jnp.array((rng.randn(100, 4) * [1, 2, 3, 4]).astype(np.float32))
+    U = ops.sample_mm_mixing(jax.random.PRNGKey(1), 100)
+    out = ops.mm_resample_mix(samples, U)
+    m_in, S_in = ops.particle_moments(samples)
+    m_out, S_out = ops.particle_moments(out)
+    np.testing.assert_allclose(np.asarray(m_out), np.asarray(m_in), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(S_out), np.asarray(S_in),
+                               rtol=0.02, atol=1e-2)
+
+
+def test_mm_resample_mix_gradients_flow():
+    samples = jnp.ones((32, 2)) + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (32, 2))
+    U = ops.sample_mm_mixing(jax.random.PRNGKey(1), 32)
+
+    def loss(s):
+        return jnp.sum(ops.mm_resample_mix(s, U) ** 2)
+
+    g = jax.grad(loss)(samples)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_grouped_mix_shapes_and_moments():
+    rng = np.random.RandomState(7)
+    samples = jnp.array(rng.randn(100, 4).astype(np.float32))
+    U = ops.sample_mm_mixing(jax.random.PRNGKey(2), 100, mm_groups=4)
+    out = ops.grouped_mix(samples, U, mm_groups=4)
+    assert out.shape == (100, 4)
+    s_g = np.asarray(samples).reshape(4, 25, 4)
+    o_g = np.asarray(out).reshape(4, 25, 4)
+    np.testing.assert_allclose(o_g.mean(1), s_g.mean(1), atol=1e-2)
+
+
 def test_clip_grad_norm():
     g = {'a': jnp.ones((10,)), 'b': 2.0 * jnp.ones((5,))}
     clipped = ops.clip_grad_norm(g, 1.0)
