@@ -42,6 +42,7 @@ import optax
 
 from ..ops.math import clip_grad_norm
 from ..ops.moment_matching import sample_mm_mixing
+from ..utils.rollout import pre_roll_mixing
 from ..utils.rollout import rollout as rollout_fn
 from ..utils.experience import SumTree
 from ..utils.core import tile
@@ -161,9 +162,13 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         dyn_noise = dyn.sample_noise(kd, (B,))
         pol_noise = pol.sample_noise(kp, (B,))
         if use_mix:
-            # fixed noise = orthogonal particle-mixing matrices (PEGASUS)
-            z_mm = sample_mm_mixing(kz1, B, cfg.mm_groups)
-            z_rr = sample_mm_mixing(kz2, B, cfg.mm_groups)
+            # fixed noise = orthogonal particle-mixing matrices (PEGASUS),
+            # with the per-step cyclic decorrelation (`rollout.py:53-59`)
+            # composed in HERE — once per noise epoch, outside the hot loop
+            z_mm = pre_roll_mixing(
+                sample_mm_mixing(kz1, B, cfg.mm_groups), cfg.steps)
+            z_rr = pre_roll_mixing(
+                sample_mm_mixing(kz2, B, cfg.mm_groups), cfg.steps)
         else:
             z_mm = jax.random.normal(kz1, (B, D))
             z_rr = jax.random.normal(kz2, (B, 1))

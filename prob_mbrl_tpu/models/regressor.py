@@ -199,7 +199,7 @@ class DynamicsModel:
 
     def apply(self, params, stats, prev_states, actions, noise=None,
               normalize=True, return_samples=False, separate_outputs=False,
-              deltas=True, train=False, **kwargs):
+              deltas=True, train=False, with_rewards=True, **kwargs):
         inputs = jnp.concatenate([prev_states, actions], -1)
         outs = self.regressor.apply(params, stats, inputs, noise,
                                     normalize=normalize,
@@ -210,6 +210,11 @@ class DynamicsModel:
 
         if self.reward_func is not None:
             dstates = outs
+            if not with_rewards:
+                # caller computes the analytic reward itself (e.g. the
+                # rollout engine hoists it out of the time scan and batches
+                # it over the whole horizon)
+                return dstates if deltas else prev_states + dstates
             rewards = self.reward_func(prev_states + dstates, actions)
         else:
             D = outs.shape[-1] - 1

@@ -54,22 +54,57 @@ def _mm_step(x, z, mm_groups, infer_noise_variables, jitter=1e-12,
     return fn(x, z, jitter)
 
 
-def _mm_mix_rolled(x, U, t, mm_groups):
-    """Mixing MM with the step-indexed cyclic permutation composed in.
+def _mix_is_per_step(U, steps, mm_groups):
+    """True if a mixing-matrix buffer carries a leading per-step axis."""
+    base_ndim = 3 if mm_groups is not None else 2
+    return U.ndim == base_ndim + 1 and U.shape[0] == steps
+
+
+def pre_roll_mixing(U, steps):
+    """Compose the step-indexed cyclic permutation into a mixing matrix.
 
     The reference decorrelates consecutive MM steps by cycling its fixed-noise
-    rows (`rollout.py:53-59`); for mixing matrices the equivalent is composing
-    ``Π^t U`` — implemented as a cheap roll of the [M, D] *output* rows, so
-    the in-scan fixed noise stays one [M, M] matrix instead of a per-step
-    [T, M, M] stack.
+    rows (`rollout.py:53-59`); for mixing matrices the equivalent is ``Π^t U``
+    — a static roll of U's rows per step. Build this ONCE per PEGASUS noise
+    epoch (outside all hot loops: a dynamic in-scan roll would lower to a
+    gather whose backward is a TPU-hostile scatter) and feed the [T, ..., M,
+    M] stack through the scan's xs.
     """
+    return jax.vmap(lambda t: jnp.roll(U, t, axis=-2))(jnp.arange(steps))
+
+
+def _mm_mix(x, U, mm_groups):
     if mm_groups is not None:
-        out = mm.grouped_mix(x, U, mm_groups)
-        D = x.shape[-1]
-        out = out.reshape(mm_groups, -1, D)
-        out = jnp.roll(out, t, axis=-2)
-        return out.reshape(-1, D)
-    return jnp.roll(mm.mm_resample_mix(x, U), t, axis=-2)
+        return mm.grouped_mix(x, U, mm_groups)
+    return mm.mm_resample_mix(x, U)
+
+
+def _mm_rewards_batched(rewards, z_rr, steps, B, mm_groups,
+                        infer_noise_variables, mm_method):
+    """Reward moment matching vectorized over the whole horizon.
+
+    Rewards never re-enter the state recursion, so their per-step MM resample
+    (`rollout.py:146-150`) has no sequential dependency — apply it to the
+    full [T, B, 1] stack at once with the per-step fixed noise.
+    """
+    if mm_method == 'mix' and not infer_noise_variables:
+        if _mix_is_per_step(z_rr, steps, mm_groups):
+            # batched matmul over the whole horizon
+            return jax.vmap(lambda r, U: _mm_mix(r, U, mm_groups))(
+                rewards, z_rr)
+        return jax.vmap(lambda r: _mm_mix(r, z_rr, mm_groups))(rewards)
+
+    tb = (jnp.arange(steps)[:, None] + jnp.arange(B)[None, :]) % B
+    z = z_rr[tb]                                               # [T, B, zD]
+    fn = (mm.mm_resample_infer_ns if infer_noise_variables
+          else mm.mm_resample)
+    if mm_groups is not None:
+        D = rewards.shape[-1]
+        zD = z.shape[-1]
+        out = fn(rewards.reshape(steps, mm_groups, -1, D),
+                 z.reshape(steps, mm_groups, -1, zD), 1e-12)
+        return out.reshape(steps, -1, D)
+    return fn(rewards, z, 1e-12)
 
 
 def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
@@ -147,14 +182,26 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
     # gather (whose backward is a scatter) inside the hot loop.
     use_mix = mm_method == 'mix' and not infer_noise_variables
     if use_mix:
-        pass  # the mixing matrices are closed over; Π^t composed per step
+        # Per-step mixing matrices ([T, ..., M, M], e.g. from
+        # ``pre_roll_mixing``) stream through xs; a single matrix is closed
+        # over and reused every step.
+        if mm_states and _mix_is_per_step(z_mm, steps, mm_groups):
+            xs['z_mm'] = z_mm
     else:
+        # the cholesky z-buffers are cyclically pre-rolled into per-step xs
         if mm_states:
             tb = (jnp.arange(steps)[:, None] + jnp.arange(B)[None, :]) % B
             xs['z_mm'] = z_mm[tb]
-        if mm_rewards:
-            tb = (jnp.arange(steps)[:, None] + jnp.arange(B)[None, :]) % B
-            xs['z_rr'] = z_rr[tb]
+
+    # The reward pipeline never feeds back into the state recursion, so it is
+    # hoisted OUT of the sequential time scan entirely: the scan carries only
+    # the state recursion (policy -> dynamics -> state MM), and rewards —
+    # analytic reward evaluation for known-reward models, plus the reward
+    # moment-matching resample — are computed afterwards, batched over the
+    # whole [T, B] trajectory in a handful of large ops. Matches the
+    # reference per-step semantics (`rollout.py:93-153`): rewards are
+    # evaluated on the PRE-state-MM next states.
+    known_reward = dyn.reward_func is not None
 
     def step(states, step_xs):
         t = step_xs['t']
@@ -168,26 +215,33 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
         actions = pol.apply(pol_params, states, p_noise, return_samples=True)
         if 'action_eps' in step_xs:
             actions = actions + step_xs['action_eps']
-        next_states, rewards = dyn.apply(
-            dyn_params, dyn_stats, states, actions, d_noise,
-            return_samples=True, separate_outputs=True, deltas=False)
+        if known_reward:
+            next_states = dyn.apply(
+                dyn_params, dyn_stats, states, actions, d_noise,
+                return_samples=True, separate_outputs=True, deltas=False,
+                with_rewards=False)
+            rewards = None
+        else:
+            next_states, rewards = dyn.apply(
+                dyn_params, dyn_stats, states, actions, d_noise,
+                return_samples=True, separate_outputs=True, deltas=False)
 
+        raw_next_states = next_states
         if mm_states:
             if use_mix:
-                next_states = _mm_mix_rolled(next_states, z_mm, t, mm_groups)
+                U_t = step_xs.get('z_mm', z_mm)
+                next_states = _mm_mix(next_states, U_t, mm_groups)
             else:
                 next_states = _mm_step(next_states, step_xs['z_mm'],
                                        mm_groups, infer_noise_variables,
                                        mm_method=mm_method)
-        if mm_rewards:
-            if use_mix:
-                rewards = _mm_mix_rolled(rewards, z_rr, t, mm_groups)
-            else:
-                rewards = _mm_step(rewards, step_xs['z_rr'], mm_groups,
-                                   infer_noise_variables,
-                                   mm_method=mm_method)
 
-        out = {'states': states, 'actions': actions, 'rewards': rewards}
+        out = {'states': states, 'actions': actions}
+        if known_reward:
+            if mm_states:
+                out['raw_next_states'] = raw_next_states
+        else:
+            out['rewards'] = rewards
         if value_fn is not None:
             out['values'] = value_fn(jax.lax.stop_gradient(states))
         if q_fn is not None:
@@ -197,7 +251,22 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
 
     last_states, traj = jax.lax.scan(step, x0, xs, unroll=unroll)
     states = jnp.concatenate([traj['states'], last_states[None]], 0)
-    result = [states, traj['actions'], traj['rewards']]
+
+    # -- hoisted reward pipeline, batched over [T, B] -----------------------
+    if known_reward:
+        if mm_states:
+            raw_next = traj['raw_next_states']
+        else:
+            raw_next = jnp.concatenate([traj['states'][1:],
+                                        last_states[None]], 0)
+        rewards = dyn.reward_func(raw_next, traj['actions'])
+    else:
+        rewards = traj['rewards']
+    if mm_rewards:
+        rewards = _mm_rewards_batched(rewards, z_rr, steps, B, mm_groups,
+                                      infer_noise_variables, mm_method)
+
+    result = [states, traj['actions'], rewards]
     if value_fn is not None:
         v_last = value_fn(last_states)
         result.append(jnp.concatenate([traj['values'], v_last[None]], 0))
