@@ -22,3 +22,5 @@ from .transformer import (TransformerDynamicsModel,
                           TransformerEncoderSpec,
                           NextStateRewardDoneHeads)
 from .flows import MAFSpec
+from .ensembles import (ModelEnsemble, bootstrap_masks,
+                        make_ensemble_train_fn)

@@ -2,6 +2,7 @@
 from .rollout import (rollout, make_rollout_fn, get_z_rnd,
                       rollout_with_values, rollout_with_Qvalues)
 from .train_regressor import (make_train_fn, train_regressor,
+                              init_priority_state,
                               normalize_dataset)
 from .experience import ExperienceDataset, SumTree
 from .apply_controller import apply_controller

@@ -25,6 +25,12 @@ def tile(x, n, axis=0):
     return jnp.repeat(x, n, axis=axis)
 
 
+def jacobian(f, x):
+    """Jacobian of ``f`` at a single input (`utils/core.py:123-137`, which
+    loops torch.autograd per output row; here one jacrev call)."""
+    return jax.jacrev(f)(x)
+
+
 def batch_jacobian(f, x):
     """Jacobian of ``f`` over a batch: [B, Din] -> [B, Dout, Din]
     (`utils/core.py:140-152`, reimagined with jax.jacrev + vmap)."""

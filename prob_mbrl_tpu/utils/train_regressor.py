@@ -15,6 +15,22 @@ front, `train_regressor.py:74-75`), with fresh dropout noise every step
 Minibatches are drawn with replacement via ``jax.random.randint``; the
 reference shuffles epochs without replacement — statistically equivalent for
 SGD at these sizes and shape-static under jit.
+
+Reference features redesigned jit-native:
+
+* **decoupled regularization** (`train_regressor.py:86-91,139-144`): the
+  data-fit gradient goes through the main optimizer and the regularizer
+  gradient through a separate SGD step, both inside the same scan iteration
+  (the reference keys a global ``decoupled_optimizers`` cache on the model;
+  here the second optimizer state is just part of the carry).
+* **prioritized sampling** (`train_regressor.py:93-127`): the reference keeps
+  a host-side SumTree keyed on clipped per-sample log-likelihoods scaled by
+  visit counts, with importance weights ``(N p)^-beta`` and beta annealed
+  0.4 -> 1.0 at 1e-3/step after 100 uniform warmup iterations. Here the
+  per-sample priorities, visit counts and beta live in device arrays carried
+  through the scan; stratified tree retrieval becomes
+  ``jax.random.categorical`` over log-priorities and the tree update becomes
+  a scatter — same distribution, no host round-trips.
 """
 from functools import partial
 from typing import Callable, Optional
@@ -24,8 +40,16 @@ import jax.numpy as jnp
 import optax
 
 
+def init_priority_state(n, dtype=jnp.float32):
+    """Fresh per-sample priority state for ``prioritized_sampling``."""
+    return {'p': jnp.ones((n,), dtype), 'counts': jnp.zeros((n,), dtype),
+            'beta': jnp.asarray(0.4, dtype), 'step': jnp.asarray(0, jnp.int32)}
+
+
 def make_train_fn(reg, optimizer, batchsize=100, reg_weight=1.0,
-                  train_dropout=True):
+                  train_dropout=True, decoupled_reg=False, reg_optimizer=None,
+                  prioritized_sampling=False, priority_eps=1e-3,
+                  priority_alpha=0.6, priority_warmup=100):
     """Build a jitted ``train(params, opt_state, X, Y, key, iters)`` closure.
 
     Args:
@@ -34,47 +58,112 @@ def make_train_fn(reg, optimizer, batchsize=100, reg_weight=1.0,
       batchsize: minibatch size M.
       reg_weight: regularization weight.
       train_dropout: pass train=True so concrete-dropout rates learn.
+      decoupled_reg: take the regularizer gradient step with a separate
+        optimizer (`train_regressor.py:86-91,139-144`).
+      reg_optimizer: the decoupled optimizer (default ``optax.sgd(1e-4)``,
+        mirroring the reference's SGD on the main optimizer's lr).
+      prioritized_sampling: sample minibatches proportionally to per-sample
+        priorities derived from clipped log-likelihoods and visit counts
+        (`train_regressor.py:93-127`).
+      priority_eps / priority_alpha / priority_warmup: prioritization
+        hyperparameters (reference defaults).
 
     Returns:
-      ``train(params, opt_state, Xn, Yn, key, iters)`` ->
-      (params, opt_state, metrics) where Xn/Yn are pre-normalized and
-      metrics holds per-step ``loss`` and ``E_lml`` arrays. ``iters`` is
-      static.
+      ``train(params, opt_state, Xn, Yn, key, iters, reg_opt_state=None,
+      priority_state=None)`` -> (params, opt_state, metrics, aux) where
+      Xn/Yn are pre-normalized, metrics holds per-step ``loss`` and ``E_lml``
+      arrays, and aux carries the updated ``reg_opt_state`` /
+      ``priority_state`` (None when the feature is off). ``iters`` is static.
     """
     density = reg.output_density
+    if decoupled_reg and reg_optimizer is None:
+        reg_optimizer = optax.sgd(1e-4)
 
-    def loss_fn(params, x, y, noise, N):
+    def log_prob_fn(params, x, y, noise):
         outs = reg.apply(params, None, x, noise, normalize=False,
                          train=train_dropout)
         if density is not None:
-            log_probs = density.log_prob(y, *outs)
-        else:
-            log_probs = -jnp.sum((outs - y) ** 2, -1)
-        Enlml = -jnp.mean(log_probs)
+            return density.log_prob(y, *outs)
+        return -jnp.sum((outs - y) ** 2, -1)
+
+    def data_loss_fn(params, x, y, noise, weights, N):
+        log_probs = log_prob_fn(params, x, y, noise)
+        Enlml = -jnp.mean(log_probs * weights)
+        if decoupled_reg:
+            return Enlml, (Enlml, log_probs)
         reg_loss = reg.regularization_loss(params)
         loss = Enlml + reg_weight * reg_loss / N
-        return loss, Enlml
+        return loss, (Enlml, log_probs)
+
+    def reg_loss_fn(params, N):
+        return reg_weight * reg.regularization_loss(params) / N
 
     @partial(jax.jit, static_argnames=('iters',))
-    def train(params, opt_state, Xn, Yn, key, iters):
+    def train(params, opt_state, Xn, Yn, key, iters, reg_opt_state=None,
+              priority_state=None):
         N = Xn.shape[0]
+        if decoupled_reg and reg_opt_state is None:
+            reg_opt_state = reg_optimizer.init(params)
+        if prioritized_sampling and priority_state is None:
+            priority_state = init_priority_state(N)
 
         def step(carry, k):
-            params, opt_state = carry
+            params, opt_state, reg_opt_state, prio = carry
             k_idx, k_noise = jax.random.split(k)
-            idx = jax.random.randint(k_idx, (batchsize,), 0, N)
+
+            if prioritized_sampling:
+                warm = prio['step'] < priority_warmup
+                idx_uniform = jax.random.randint(k_idx, (batchsize,), 0, N)
+                idx_prio = jax.random.categorical(
+                    k_idx, jnp.log(prio['p']), shape=(batchsize,))
+                idx = jnp.where(warm, idx_uniform, idx_prio)
+                # importance weights (N p)^-beta, max-normalized
+                # (`experience_dataset.py:351-367`)
+                p_sel = prio['p'][idx] / jnp.sum(prio['p'])
+                w = (N * p_sel) ** (-prio['beta'])
+                weights = jnp.where(warm, 1.0, w / jnp.max(w))
+            else:
+                idx = jax.random.randint(k_idx, (batchsize,), 0, N)
+                weights = jnp.ones((batchsize,), Xn.dtype)
+
             x, y = Xn[idx], Yn[idx]
             noise = reg.sample_noise(k_noise, (batchsize,))
-            (loss, Enlml), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, x, y, noise, N)
+            (loss, (Enlml, log_probs)), grads = jax.value_and_grad(
+                data_loss_fn, has_aux=True)(params, x, y, noise, weights, N)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), {'loss': loss, 'E_lml': -Enlml}
+
+            if decoupled_reg:
+                rgrads = jax.grad(reg_loss_fn)(params, N)
+                rupdates, reg_opt_state = reg_optimizer.update(
+                    rgrads, reg_opt_state, params)
+                params = optax.apply_updates(params, rupdates)
+
+            if prioritized_sampling:
+                counts = prio['counts'].at[idx].add(1.0)
+                # p0 = 1 + (a - clip(lp, -a, a)) / (2a), a=2
+                # (`train_regressor.py:120-125`)
+                a = 2.0
+                p0 = 1.0 + (a - jnp.clip(jax.lax.stop_gradient(log_probs),
+                                         -a, a)) / (2 * a)
+                max_count = jnp.maximum(jnp.max(counts), 1.0)
+                new_p = (p0 * max_count / jnp.maximum(counts[idx], 1.0)
+                         + priority_eps) ** priority_alpha
+                prio = {'p': prio['p'].at[idx].set(new_p),
+                        'counts': counts,
+                        'beta': jnp.minimum(1.0, prio['beta'] + 1e-3),
+                        'step': prio['step'] + 1}
+
+            return (params, opt_state, reg_opt_state, prio), {
+                'loss': loss, 'E_lml': -Enlml}
 
         keys = jax.random.split(key, iters)
-        (params, opt_state), metrics = jax.lax.scan(
-            step, (params, opt_state), keys)
-        return params, opt_state, metrics
+        (params, opt_state, reg_opt_state, priority_state), metrics = \
+            jax.lax.scan(step, (params, opt_state, reg_opt_state,
+                                priority_state), keys)
+        aux = {'reg_opt_state': reg_opt_state,
+               'priority_state': priority_state}
+        return params, opt_state, metrics, aux
 
     return train
 
@@ -88,10 +177,14 @@ def normalize_dataset(stats, X, Y):
 
 def train_regressor(reg, params, stats, X, Y, key, iters=2000, batchsize=100,
                     optimizer=None, opt_state=None, reg_weight=1.0,
-                    angle_dims=()):
+                    angle_dims=(), decoupled_reg=False, reg_optimizer=None,
+                    prioritized_sampling=False, priority_eps=1e-3,
+                    priority_alpha=0.6, return_aux=False):
     """Convenience wrapper: whiten, build the train fn, run it.
 
-    Returns (params, opt_state, metrics).
+    Returns (params, opt_state, metrics), or (params, opt_state, metrics,
+    aux) with ``return_aux=True`` (aux carries decoupled-optimizer and
+    priority state for cross-call reuse).
     """
     from ..ops.angles import to_complex
     if angle_dims:
@@ -101,5 +194,14 @@ def train_regressor(reg, params, stats, X, Y, key, iters=2000, batchsize=100,
     if opt_state is None:
         opt_state = optimizer.init(params)
     Xn, Yn = normalize_dataset(stats, X, Y)
-    train = make_train_fn(reg, optimizer, batchsize, reg_weight)
-    return train(params, opt_state, Xn, Yn, key, iters)
+    train = make_train_fn(reg, optimizer, batchsize, reg_weight,
+                          decoupled_reg=decoupled_reg,
+                          reg_optimizer=reg_optimizer,
+                          prioritized_sampling=prioritized_sampling,
+                          priority_eps=priority_eps,
+                          priority_alpha=priority_alpha)
+    params, opt_state, metrics, aux = train(params, opt_state, Xn, Yn, key,
+                                            iters)
+    if return_aux:
+        return params, opt_state, metrics, aux
+    return params, opt_state, metrics
