@@ -6,11 +6,13 @@ from .double_cartpole import (DoubleCartpole, DoubleCartpoleModel,
                               double_cartpole_reward)
 from .cart_acrobot import CartAcrobot, CartAcrobotModel
 from .rendezvous import Rendezvous, RendezvousModel, RendezvousReward
+from .jax_lander import JaxLunarLander, JaxLanderModel, lander_reward
 
 try:  # Box2D-backed lunar lander: optional (requires box2d-py)
     from .lunar_lander import LunarLander  # noqa: F401
     _HAS_LUNAR_LANDER = True
 except ImportError:  # pragma: no cover
+    LunarLander = JaxLunarLander  # JAX-native lander is the default backend
     _HAS_LUNAR_LANDER = False
 
 __all__ = [
@@ -19,9 +21,8 @@ __all__ = [
     'PendulumModel', 'pendulum_reward', 'DoubleCartpole',
     'DoubleCartpoleModel', 'double_cartpole_reward', 'CartAcrobot',
     'CartAcrobotModel', 'Rendezvous', 'RendezvousModel', 'RendezvousReward',
+    'JaxLunarLander', 'JaxLanderModel', 'lander_reward', 'LunarLander',
 ]
-if _HAS_LUNAR_LANDER:
-    __all__.append('LunarLander')
 
 
 def make(name, **kwargs):
@@ -32,9 +33,8 @@ def make(name, **kwargs):
         'DoubleCartpole': DoubleCartpole,
         'CartAcrobot': CartAcrobot,
         'Rendezvous': Rendezvous,
+        'LunarLander': LunarLander,
     }
-    if _HAS_LUNAR_LANDER:
-        registry['LunarLander'] = LunarLander
     if name not in registry:
         raise KeyError(f'unknown env {name!r}; available: '
                        f'{sorted(registry)}')

@@ -159,3 +159,82 @@ def test_make_registry():
     assert isinstance(env, envs.Cartpole)
     with pytest.raises(KeyError):
         envs.make('Nope')
+
+
+# -- JAX-native lunar lander --------------------------------------------------
+
+def test_lander_free_fall_and_hover():
+    model = envs.JaxLanderModel()
+    x = jnp.zeros((1, 8)).at[0, 1].set(1.0)
+    # free fall: no thrust -> vy decreases by ~g*dt
+    x1 = model.step(x, jnp.zeros((1, 2)))
+    assert float(x1[0, 3]) < 0.0
+    np.testing.assert_allclose(float(x1[0, 3]), model.gravity * model.dt,
+                               rtol=1e-5)
+    # full main throttle upright: net accel = power - g > 0
+    x2 = model.step(x, jnp.array([[1.0, 0.0]]))
+    assert float(x2[0, 3]) > 0.0
+
+
+def test_lander_contact_stops_fall_and_sets_flags():
+    model = envs.JaxLanderModel()
+    x0 = jnp.zeros((1, 8)).at[0, 1].set(1.0)
+
+    def rollout(x, n):
+        for _ in range(n):
+            x = model.step(x, jnp.zeros((1, 2)))
+        return x
+
+    xT = rollout(x0, 400)  # 8 seconds: must have settled on the pad
+    xT = np.asarray(xT)[0]
+    # resting on the legs: body height ~ leg_dy, not falling through
+    assert xT[1] > 0.0
+    assert abs(xT[3]) < 0.1
+    assert xT[6] > 0.5 and xT[7] > 0.5  # both contact flags on
+
+
+def test_lander_side_engine_torques_and_gating():
+    model = envs.JaxLanderModel()
+    x = jnp.zeros((1, 8)).at[0, 1].set(1.0)
+    # below gating threshold: no effect
+    x_low = model.step(x, jnp.array([[0.0, 0.4]]))
+    np.testing.assert_allclose(np.asarray(x_low[0, 5]), 0.0, atol=1e-7)
+    # above threshold: spins the body
+    x_hi = model.step(x, jnp.array([[0.0, 1.0]]))
+    assert abs(float(x_hi[0, 5])) > 0.0
+
+
+def test_lander_reward_differentiable_through_contact():
+    model = envs.JaxLanderModel()
+    reward = envs.lander_reward(model)
+
+    def total_reward(u):
+        x = jnp.zeros((1, 8)).at[0, 1].set(0.3)
+        r = 0.0
+        for _ in range(20):
+            x = model.step(x, u)
+            r = r + reward(x, u).sum()
+        return r
+
+    g = jax.grad(total_reward)(jnp.array([[0.9, 0.0]]))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).sum()) > 0.0  # gradients flow through contacts
+
+
+def test_lander_gym_api_and_registry():
+    env = envs.make('LunarLander')
+    env.seed(3)
+    obs = env.reset()
+    assert obs.shape == (8,)
+    total = 0.0
+    for _ in range(30):
+        obs, r, done, _ = env.step(np.array([0.5, 0.0]))
+        total += float(r)
+        if done:
+            break
+    assert np.all(np.isfinite(obs))
+    # batched on-device ground truth step
+    xs = jnp.tile(jnp.asarray(obs)[None], (4, 1))
+    us = jnp.zeros((4, 2))
+    nxt = env.batch_step(xs, us)
+    assert nxt.shape == (4, 8)
