@@ -49,11 +49,14 @@ class BernoulliDropoutSpec:
         return {'u': jax.random.uniform(key, tuple(batch_shape) + (width,),
                                         dtype=dtype)}
 
-    def apply(self, params, noise, x, train=False):
+    def mask(self, params, noise, dtype=jnp.float32, train=False):
+        """Multiplicative mask (inverted-dropout 1/p scaling folded in)."""
         del params, train
         p = 1.0 - self.rate
-        mask = jax.lax.stop_gradient((noise['u'] < p).astype(x.dtype))
-        return x * mask / p
+        return jax.lax.stop_gradient((noise['u'] < p).astype(dtype)) / p
+
+    def apply(self, params, noise, x, train=False):
+        return x * self.mask(params, noise, x.dtype, train)
 
     def regularizer(self, params, weights, biases=None):
         """0.5 * scale * (p * ||W||^2 + ||b||^2) (`modules.py:30-35`)."""
@@ -93,8 +96,8 @@ class ConcreteDropoutSpec:
         return {'u': jax.random.uniform(k1, shape, dtype=dtype),
                 'u_hard': jax.random.uniform(k2, shape, dtype=dtype)}
 
-    def apply(self, params, noise, x, train=False):
-        """Straight-through concrete dropout (`modules.py:102-160`).
+    def mask(self, params, noise, dtype=jnp.float32, train=False):
+        """Straight-through concrete mask (`modules.py:102-160`).
 
         train=True: gradient flows into logit_p through the relaxed probs.
         train=False: the mask is a constant (reference eval mode detach).
@@ -103,12 +106,13 @@ class ConcreteDropoutSpec:
         u = noise['u']
         concrete_p = logit_p + jnp.log((u + 1e-7) / (1.0 - (u - 1e-7)))
         probs = jax.nn.sigmoid(concrete_p / self.temperature)
-        hard = (noise['u_hard'] < probs).astype(x.dtype)
+        hard = (noise['u_hard'] < probs).astype(dtype)
         if train:
-            mask = jax.lax.stop_gradient(hard - probs) + probs
-        else:
-            mask = jax.lax.stop_gradient(hard)
-        return x * mask
+            return jax.lax.stop_gradient(hard - probs) + probs
+        return jax.lax.stop_gradient(hard)
+
+    def apply(self, params, noise, x, train=False):
+        return x * self.mask(params, noise, x.dtype, train)
 
     def regularizer(self, params, weights, biases=None):
         """scale/2 * p ||W||^2 + dropout_reg * (p log p + (1-p)log(1-p)) (`modules.py:88-93`)."""

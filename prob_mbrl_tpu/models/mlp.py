@@ -50,6 +50,12 @@ class MLPSpec:
     spectral_norm_output: bool = False
     sn_max_K: float = 10.0
     sn_iters: int = 1
+    # Fused Pallas kernel for the whole Linear/activation/mask chain
+    # (`ops.pallas.fused_mlp`). Opt-in: measured on v5e at the deep-PILCO
+    # shapes (100-1000 particles x [200, 200]), XLA's per-layer kernels
+    # pipeline better than the monolithic kernel, so auto mode keeps the
+    # XLA path. True = force the fused kernel (interpret-mode off-TPU).
+    fused: Optional[bool] = None
 
     def __post_init__(self):
         object.__setattr__(self, 'hidden_dims', tuple(self.hidden_dims))
@@ -129,8 +135,60 @@ class MLPSpec:
         return noise
 
     # ---- forward ----------------------------------------------------------
+    def _use_fused(self):
+        if self.fused is False:
+            return False
+        from ..ops.pallas import fused_mlp_supported
+        ok = fused_mlp_supported(len(self.hidden_dims), self.nonlin,
+                                 self.layer_norm,
+                                 self.spectral_norm or self.spectral_norm_output)
+        if self.fused is True:
+            if not ok:
+                raise ValueError('fused=True but MLP config is not supported '
+                                 'by the fused Pallas kernel')
+            return True
+        # auto mode stays on the XLA path (measured faster at these shapes);
+        # note pallas_call is also opaque to GSPMD, so fusing under a
+        # multi-device sharding would force gathers — fused=True users on
+        # multi-chip should call it inside shard_map (local shapes).
+        return False
+
+    def _apply_fused(self, params, x, noise, train):
+        """Single-kernel fused forward (`ops.pallas.fused_mlp`)."""
+        from ..ops.pallas import fused_mlp
+        h = x
+        if self.input_dropout is not None and noise is not None:
+            h = self.input_dropout.apply(params.get('drop_in', {}),
+                                         noise['drop_in'], h, train)
+        n = len(self.hidden_dims)
+        ws = [params[f'linear_{i}']['w'] for i in range(n)]
+        ws.append(params['linear_out']['w'])
+        bs = [params[f'linear_{i}'].get('b') for i in range(n)]
+        bs.append(params['linear_out'].get('b'))
+        masks = []
+        for i, spec in enumerate(self.dropout):
+            if spec is not None and noise is not None:
+                m = spec.mask(params.get(f'drop_{i}', {}), noise[f'drop_{i}'],
+                              h.dtype, train)
+                masks.append(jnp.broadcast_to(
+                    m, h.shape[:-1] + (self.hidden_dims[i],)))
+            else:
+                masks.append(None)
+        batch_shape = h.shape[:-1]
+        h2 = h.reshape(-1, h.shape[-1])
+        masks = [m if m is None else m.reshape(-1, m.shape[-1])
+                 for m in masks]
+        out = fused_mlp(h2, tuple(ws), tuple(bs), tuple(masks), self.nonlin,
+                        compute_dtype=self.compute_dtype)
+        out = out.reshape(batch_shape + (self.output_dims,))
+        if self.output_nonlin is not None:
+            out = act_lib.get(self.output_nonlin)(out)
+        return out
+
     def apply(self, params, x, noise=None, train=False):
         """Forward pass. ``noise=None`` disables dropout (deterministic mean net)."""
+        if self._use_fused():
+            return self._apply_fused(params, x, noise, train)
         cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
         def linear(p, h):
