@@ -360,7 +360,10 @@ def mc_pilco(x0_pool, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
     tree = None
     beta = init_priority_beta
     if prioritized_replay:
-        tree = SumTree(2 ** 20)
+        # C++-backed tree when the native toolchain is available
+        # (`native.make_sum_tree`), Python SumTree otherwise
+        from ..native import make_sum_tree
+        tree = make_sum_tree(2 ** 20)
         for row in np.asarray(x0_pool):
             tree.append(row, tree.max_p)
         tree.renormalize()
