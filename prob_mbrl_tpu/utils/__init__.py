@@ -20,3 +20,4 @@ from .checkpoint import (save_checkpoint, load_checkpoint, save_pytree,
                          load_pytree)
 from .plotting import (plot_sample, plot_mean_var, plot_trajectories,
                        plot_rollout)
+from . import profiling
