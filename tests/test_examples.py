@@ -1,0 +1,85 @@
+"""Smoke tests for the experiment drivers (the framework's CLI surface).
+
+Each driver runs as a subprocess on tiny configurations — the TPU-native
+version of the reference's de-facto verification strategy (SURVEY.md §4:
+"executable examples as smoke tests").
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXAMPLES = os.path.join(REPO, 'examples')
+
+TINY_PILCO = ['--ps_iters', '1', '--control_H', '8', '--pred_H', '4',
+              '--n_initial_epi', '1',
+              '--dyn_opt_iters', '20', '--dyn_batch_size', '16',
+              '--pol_opt_iters', '10', '--pol_batch_size', '8',
+              '--dyn_shape', '16,16', '--pol_shape', '16,16']
+
+
+def run_example(script, *extra, timeout=420):
+    env = dict(os.environ, JAX_PLATFORMS='cpu', MPLBACKEND='Agg')
+    env.pop('XLA_FLAGS', None)  # single virtual device is enough & faster
+    out = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, script), *extra],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO)
+    assert out.returncode == 0, (
+        f'{script} failed:\nSTDOUT:{out.stdout[-2000:]}\n'
+        f'STDERR:{out.stderr[-2000:]}')
+    return out.stdout
+
+
+def results_folder_from(stdout):
+    for line in stdout.splitlines():
+        if 'results ->' in line:
+            return line.split('results ->')[-1].strip()
+    raise AssertionError(f'no results folder printed:\n{stdout}')
+
+
+def test_deep_pilco_no_mm_and_evaluate(tmp_path):
+    stdout = run_example('deep_pilco_no_mm.py', '-o', str(tmp_path),
+                         *TINY_PILCO)
+    folder = results_folder_from(stdout)
+    assert os.path.exists(os.path.join(folder, 'args.json'))
+    assert os.path.exists(os.path.join(folder, 'experience.pkl'))
+    with open(os.path.join(folder, 'args.json')) as f:
+        assert json.load(f)['ps_iters'] == 1
+    # replay the saved snapshots into a learning curve
+    out2 = run_example('evaluate_policy.py', folder, '--n_evals', '1')
+    assert 'snapshot' in out2
+    assert os.path.exists(os.path.join(folder, 'learning_curve.png'))
+
+
+def test_deep_pilco_mm(tmp_path):
+    stdout = run_example('deep_pilco_mm.py', '-o', str(tmp_path),
+                         *TINY_PILCO)
+    assert 'episode 0' in stdout
+
+
+def test_deep_pilco_with_value(tmp_path):
+    stdout = run_example('deep_pilco_no_mm_with_value.py', '-o',
+                         str(tmp_path), *TINY_PILCO)
+    assert 'episode 0' in stdout
+
+
+def test_mbddpg(tmp_path):
+    stdout = run_example(
+        'mbddpg.py', '-o', str(tmp_path), '--ps_iters', '1',
+        '--control_H', '8', '--pred_H', '4', '--n_rnd_epi', '2',
+        '--fit_iters', '4', '--dyn_opt_iters', '20',
+        '--dyn_batch_size', '16')
+    assert 'episode 0' in stdout
+
+
+def test_bnn_regression_tiny():
+    env = dict(os.environ, JAX_PLATFORMS='cpu', MPLBACKEND='Agg')
+    env.pop('XLA_FLAGS', None)
+    code = ('import sys; sys.path.insert(0, "examples"); '
+            'import bnn_regression as b; b.main(iters=40, plot=False)')
+    out = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                         text=True, timeout=420, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
