@@ -23,4 +23,4 @@ from .transformer import (TransformerDynamicsModel,
                           NextStateRewardDoneHeads)
 from .flows import MAFSpec
 from .ensembles import (ModelEnsemble, bootstrap_masks,
-                        make_ensemble_train_fn)
+                        make_ensemble_train_fn, RandomPriorMLP)

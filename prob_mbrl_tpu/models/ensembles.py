@@ -134,3 +134,57 @@ def make_ensemble_train_fn(ensemble, optimizer, batchsize=100,
         return params, opt_state, metrics
 
     return train
+
+
+@dataclasses.dataclass(frozen=True)
+class RandomPriorMLP:
+    """Randomized prior functions (Osband et al. 2018).
+
+    TPU-native version of ``NetWithRandomPrior`` from the reference notebook
+    `notebooks/BNN_regression_example.ipynb` (cell 2): the trainable network's
+    output is summed with the output of a fixed, independently-initialized
+    prior copy, with no gradient flowing through the prior. Uncertainty away
+    from the data then reverts to the prior ensemble's spread instead of
+    collapsing.
+
+    Drop-in for ``MLPSpec`` wherever a Regressor/density network expects one
+    (same init/sample_noise/apply/regularization_loss contract), so
+    ``Regressor(mlp=RandomPriorMLP(mlp_spec), ...)`` just works. Unlike the
+    notebook (which adds the prior only while ``self.train`` is truthy), the
+    prior is always added, keeping train and eval predictions consistent.
+
+    The prior's parameters live in the params pytree (so they checkpoint and
+    replicate like everything else) but are wrapped in ``stop_gradient``;
+    first-order optimizers therefore never move them.
+    """
+    mlp: Any
+    prior_scale: float = 1.0
+
+    @property
+    def input_dims(self):
+        return self.mlp.input_dims
+
+    @property
+    def output_dims(self):
+        return self.mlp.output_dims
+
+    def init(self, key, dtype=jnp.float32):
+        km, kp = jax.random.split(key)
+        return {'model': self.mlp.init(km, dtype),
+                'prior': self.mlp.init(kp, dtype)}
+
+    def sample_noise(self, key, batch_shape, dtype=jnp.float32):
+        km, kp = jax.random.split(key)
+        return {'model': self.mlp.sample_noise(km, batch_shape, dtype),
+                'prior': self.mlp.sample_noise(kp, batch_shape, dtype)}
+
+    def apply(self, params, x, noise=None, train=False):
+        nm = noise.get('model') if noise is not None else None
+        npr = noise.get('prior') if noise is not None else None
+        y = self.mlp.apply(params['model'], x, nm, train)
+        prior = self.mlp.apply(params['prior'], x, npr, train)
+        return y + self.prior_scale * jax.lax.stop_gradient(prior)
+
+    def regularization_loss(self, params):
+        # only the trainable copy is regularized; the prior is fixed
+        return self.mlp.regularization_loss(params['model'])

@@ -54,18 +54,21 @@ def test_deep_pilco_no_mm_and_evaluate(tmp_path):
     assert os.path.exists(os.path.join(folder, 'learning_curve.png'))
 
 
+@pytest.mark.slow
 def test_deep_pilco_mm(tmp_path):
     stdout = run_example('deep_pilco_mm.py', '-o', str(tmp_path),
                          *TINY_PILCO)
     assert 'episode 0' in stdout
 
 
+@pytest.mark.slow
 def test_deep_pilco_with_value(tmp_path):
     stdout = run_example('deep_pilco_no_mm_with_value.py', '-o',
                          str(tmp_path), *TINY_PILCO)
     assert 'episode 0' in stdout
 
 
+@pytest.mark.slow
 def test_mbddpg(tmp_path):
     stdout = run_example(
         'mbddpg.py', '-o', str(tmp_path), '--ps_iters', '1',
@@ -75,6 +78,7 @@ def test_mbddpg(tmp_path):
     assert 'episode 0' in stdout
 
 
+@pytest.mark.slow
 def test_bnn_regression_tiny():
     env = dict(os.environ, JAX_PLATFORMS='cpu', MPLBACKEND='Agg')
     env.pop('XLA_FLAGS', None)

@@ -351,3 +351,52 @@ class TestSpectralNorm:
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
         assert np.any(np.asarray(g['linear_0']['sn_scale']) != 0)
+
+
+class TestRandomPriorMLP:
+    """NetWithRandomPrior equivalent (notebooks/BNN_regression_example.ipynb)."""
+
+    def _build(self):
+        base = models.MLPSpec(3, 2, (16,))
+        return models.RandomPriorMLP(base, prior_scale=2.0)
+
+    def test_output_is_model_plus_scaled_prior(self):
+        spec = self._build()
+        params = spec.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (5, 3))
+        y = spec.apply(params, x)
+        y_model = spec.mlp.apply(params['model'], x, None, False)
+        y_prior = spec.mlp.apply(params['prior'], x, None, False)
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.asarray(y_model + 2.0 * y_prior),
+                                   rtol=1e-5)
+
+    def test_no_gradient_through_prior(self):
+        spec = self._build()
+        params = spec.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (5, 3))
+
+        def loss(p):
+            return jnp.sum(spec.apply(p, x) ** 2)
+
+        g = jax.grad(loss)(params)
+        prior_norm = sum(float(jnp.sum(jnp.abs(v)))
+                         for v in jax.tree_util.tree_leaves(g['prior']))
+        model_norm = sum(float(jnp.sum(jnp.abs(v)))
+                         for v in jax.tree_util.tree_leaves(g['model']))
+        assert prior_norm == 0.0
+        assert model_norm > 0.0
+
+    def test_drop_in_for_regressor(self):
+        density = models.DiagGaussianDensity(2)
+        base = models.MLPSpec(3, density.n_inputs, (16,),
+                              dropout=models.cdropout(0.1))
+        spec = models.RandomPriorMLP(base)
+        reg = models.Regressor(mlp=spec, output_density=density)
+        params = reg.init(jax.random.PRNGKey(0))
+        stats = reg.init_stats()
+        noise = reg.sample_noise(jax.random.PRNGKey(1), (5,))
+        x = jax.random.normal(jax.random.PRNGKey(2), (5, 3))
+        mu, sigma = reg.apply(params, stats, x, noise)
+        assert mu.shape == (5, 2) and sigma.shape == (5, 2)
+        assert float(reg.regularization_loss(params)) >= 0.0
