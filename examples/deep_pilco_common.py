@@ -2,12 +2,24 @@
 
 The TPU-native equivalent of the reference's `examples/deep_pilco_mm.py` /
 `deep_pilco_no_mm.py` / `deep_pilco_no_mm_with_value.py` trio (which differ
-only in moment-matching flags, learning rates and the critic hook): one
-parameterized loop, three thin entry points.
+only in moment-matching flags, learning rates, init-state noise and the
+critic hook): one parameterized loop, three thin entry points.
 
-Flow per episode (`deep_pilco_mm.py:180-270`):
-  real-env rollout -> experience -> dynamics fit (jitted scan) ->
-  MC-PILCO policy optimization (jitted scan) -> checkpoint + metrics.
+Flow per episode, in the reference's order (`deep_pilco_mm.py:196-270`):
+  real-env rollout with the stochastic exploration policy -> experience ->
+  dynamics fit (jitted scan) -> MC-PILCO policy optimization (jitted scan)
+  -> checkpoint + metrics.
+
+Reference-faithful details:
+  * initial states for imagined rollouts are sampled from experience at
+    ``--timesteps_to_sample`` (default 0 = episode starts,
+    `deep_pilco_mm.py:233-236,260`);
+  * per-iteration init-state jitter ``init_state_noise_mult * x0.std(0)``
+    (1e-2 for the MM variant, 1e-1 for no-MM, `deep_pilco_*.py:261`);
+  * real-env actions are SAMPLED from the stochastic policy (fresh dropout
+    masks + density noise each step, `models/core.py:221-243`) plus optional
+    uniform exploration noise, clipped to the action bounds
+    (`deep_pilco_mm.py:196-198`).
 """
 import atexit
 import os
@@ -20,7 +32,7 @@ import optax
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
-from prob_mbrl_tpu import models, algorithms, envs  # noqa: E402
+from prob_mbrl_tpu import models  # noqa: E402
 from prob_mbrl_tpu.algorithms.mc_pilco import mc_pilco as run_mc_pilco  # noqa: E402
 from prob_mbrl_tpu.algorithms.value import make_value_update_fn  # noqa: E402
 from prob_mbrl_tpu.utils import (ExperienceDataset, apply_controller,
@@ -29,7 +41,6 @@ from prob_mbrl_tpu.utils.experiments import (get_argument_parser, init_env,
                                              init_output_folder)  # noqa: E402
 from prob_mbrl_tpu.utils.checkpoint import (save_checkpoint,
                                             load_checkpoint)  # noqa: E402
-from prob_mbrl_tpu.utils.rollout import make_rollout_fn  # noqa: E402
 
 
 def build_models(D, U, maxU, minU, args, learn_reward, reward_func):
@@ -59,25 +70,41 @@ def build_models(D, U, maxU, minU, args, learn_reward, reward_func):
     return dyn, pol
 
 
-def make_host_policy(pol, expl_noise=0.0, rng=None):
-    """Host-side policy callable for ``apply_controller``."""
-    rng = rng or np.random.RandomState(0)
-    fwd = jax.jit(lambda p, x: pol.apply(p, x, noise=None,
-                                         return_samples=False))
+def make_host_policy(pol, expl_noise=0.0, seed=0, minU=None, maxU=None,
+                     stochastic=True):
+    """Host-side policy callable for ``apply_controller``.
+
+    Stochastic mode samples fresh dropout masks + density noise per real-env
+    step — the reference's ``Policy.forward`` with ``resample=True`` defaults
+    (`models/core.py:221-243`) — plus uniform exploration noise clipped to
+    the action bounds (`deep_pilco_mm.py:196-198`).
+    """
+    rng = np.random.RandomState(seed)
+    fwd_sample = jax.jit(lambda p, x, k: pol.apply(
+        p, x, noise=pol.sample_noise(k, (1,)), return_samples=True))
+    fwd_mean = jax.jit(lambda p, x: pol.apply(p, x, noise=None,
+                                              return_samples=False))
+    key_holder = {'key': jax.random.PRNGKey(rng.randint(2 ** 31))}
 
     def policy(params):
         def call(x, t=0):
-            u = fwd(params, jnp.asarray(x, jnp.float32).reshape(1, -1))
+            x = jnp.asarray(x, jnp.float32).reshape(1, -1)
+            if stochastic:
+                key_holder['key'], k = jax.random.split(key_holder['key'])
+                u = fwd_sample(params, x, k)
+            else:
+                u = fwd_mean(params, x)
             u = np.asarray(u).flatten()
             if expl_noise > 0:
-                u = u + expl_noise * rng.randn(*u.shape)
+                u = u + expl_noise * rng.uniform(minU, maxU)
+                u = np.clip(u, minU, maxU)
             return u
         return call
     return policy
 
 
 def run(args, mm_states=False, mm_rewards=False, use_value=False,
-        experiment_name='deep_pilco'):
+        init_state_noise_mult=1e-1, experiment_name='deep_pilco'):
     env = init_env(args.env, args.seed)
     D = env.observation_size
     U = env.action_size
@@ -105,8 +132,7 @@ def run(args, mm_states=False, mm_rewards=False, use_value=False,
     pol_opt = optax.adam(args.pol_lr)
     pol_opt_state = pol_opt.init(pol_params)
 
-    value_spec = value_params = value_target = value_stats = None
-    value_opt_state = value_update = value_rollout = None
+    value_spec = value_stats = value_update = value_state = None
     if use_value:
         v_density = models.DiagGaussianDensity(1)
         v_mlp = models.MLPSpec(D, v_density.n_inputs, (64, 64),
@@ -114,17 +140,19 @@ def run(args, mm_states=False, mm_rewards=False, use_value=False,
         value_spec = models.Regressor(mlp=v_mlp, output_density=v_density)
         key, kv = jax.random.split(key)
         value_params = value_spec.init(kv)
-        value_target = value_params
         value_stats = value_spec.init_stats()
         v_opt = optax.adam(1e-3)
-        value_opt_state = v_opt.init(value_params)
+        # critic refits inside the policy-opt scan on EVERY iteration, the
+        # reference's on_rollout cadence (`deep_pilco_no_mm_with_value.py:
+        # 380-400`); the bootstrap uses the live critic.
         value_update = make_value_update_fn(value_spec, v_opt, args.pred_H,
                                             discount=discount)
-        value_rollout = jax.jit(make_rollout_fn(dyn, pol, args.pred_H))
+        value_state = dict(params=value_params, target=value_params,
+                           opt_state=v_opt.init(value_params))
 
     results_folder = init_output_folder(env, args.output_folder,
                                         experiment_name)
-    print(f'[{experiment_name}] results -> {results_folder}')
+    print(f'[{experiment_name}] results -> {results_folder}', flush=True)
     writer = None
     try:
         from tensorboardX import SummaryWriter
@@ -139,22 +167,49 @@ def run(args, mm_states=False, mm_rewards=False, use_value=False,
         dyn_params = ck.get('dyn', dyn_params)
         pol_params = ck.get('pol', pol_params)
 
-    host_policy = make_host_policy(pol, args.expl_noise,
-                                   np.random.RandomState(args.seed))
+    host_policy = make_host_policy(pol, args.expl_noise, args.seed,
+                                   minU, maxU, stochastic=True)
+    if args.render and not hasattr(env, 'render_frame'):
+        print(f'[{experiment_name}] --render: analytic TPU envs have no '
+              'renderer; flag ignored (use plot_level>0 for trajectory '
+              'figures)', flush=True)
 
-    # initial random episodes (`deep_pilco_mm.py:184-209`)
+    # initial random episodes (`deep_pilco_mm.py:184-209`; the reference
+    # default n_initial_epi=0 collects none and relies on the episode
+    # gathered with the untrained stochastic policy each iteration)
     rnd = np.random.RandomState(args.seed)
-    n_rnd = max(1, args.n_initial_epi + 1) - exp.n_episodes()
-    for _ in range(max(0, n_rnd)):
+    for _ in range(max(0, args.n_initial_epi - exp.n_episodes())):
         def rnd_pol(x, t=0):
             return rnd.uniform(minU, maxU)
         ret = apply_controller(env, rnd_pol, args.control_H,
                                stop_when_done=args.stop_when_done)
         exp.append_episode(*ret)
 
+    timestep_to_sample = args.timesteps_to_sample
+    if isinstance(timestep_to_sample, list) and not timestep_to_sample:
+        timestep_to_sample = 0
+
     n_opt_steps = 0
     eval_returns = []
+    best = {'return': -np.inf, 'params': None, 'episode': -1}
     for ps_it in range(args.ps_iters):
+        # ---- collect real experience with the current stochastic policy
+        # (`deep_pilco_mm.py:199-210`) ----------------------------------
+        ret = apply_controller(env, host_policy(pol_params), args.control_H,
+                               stop_when_done=args.stop_when_done)
+        exp.append_episode(*ret, policy_params=jax.tree_util.tree_map(
+            np.asarray, pol_params))
+        ep_return = float(np.sum([np.sum(r) for r in ret[2]]))
+        eval_returns.append(ep_return)
+        if ep_return > best['return']:
+            best['return'] = ep_return
+            best['episode'] = ps_it
+            if args.keep_best:
+                best['params'] = jax.tree_util.tree_map(np.asarray,
+                                                        pol_params)
+        if writer:
+            writer.add_scalar('robot/evaluation_loss', -ep_return, ps_it)
+
         # ---- fit dynamics (`deep_pilco_mm.py:212-229`) --------------------
         X, Y = exp.get_dynmodel_dataset(deltas=True,
                                         return_costs=learn_reward)
@@ -167,37 +222,17 @@ def run(args, mm_states=False, mm_rewards=False, use_value=False,
             optimizer=dyn_opt, opt_state=dyn_opt_state)
         E_lml = float(np.asarray(dyn_metrics['E_lml'])[-50:].mean())
         if writer:
-            writer.add_scalar(f'dyn/episode_{ps_it}/E_lml', E_lml, ps_it)
+            # per-episode namespacing (`train_regressor.py:148-158`)
+            writer.add_scalar(f'model_learning/episode_{ps_it}/E_lml',
+                              E_lml, ps_it)
 
-        # ---- policy optimization (`deep_pilco_mm.py:245-264`) -------------
+        # ---- policy optimization (`deep_pilco_mm.py:231-264`) -------------
         x0_pool = exp.sample_states(2 * args.pol_batch_size,
+                                    timestep=timestep_to_sample,
                                     rng=np.random.RandomState(args.seed
                                                               + ps_it))
+        init_noise = init_state_noise_mult * x0_pool.std(0)
         key, ko = jax.random.split(key)
-
-        on_iteration = None
-        if use_value:
-            vstate = dict(params=value_params, target=value_target,
-                          opt_state=value_opt_state)
-
-            def on_iteration(n, metrics, live_pol_params, vstate=vstate):
-                # TD(H) critic fit on fresh imagined rollouts with the
-                # policy as it currently stands
-                # (`deep_pilco_no_mm_with_value.py:380-400`)
-                nonlocal key
-                key, kr, kn1, kn2, kv = jax.random.split(key, 5)
-                B = args.pol_batch_size
-                x0 = jnp.asarray(exp.sample_states(
-                    B, rng=np.random.RandomState(n)))
-                dnoise = dyn.sample_noise(kn1, (B,))
-                pnoise = pol.sample_noise(kn2, (B,))
-                states, actions, rewards = value_rollout(
-                    x0, dyn_params, dyn_stats, live_pol_params, dnoise,
-                    pnoise)
-                vstate['params'], vstate['target'], vstate['opt_state'], _ = \
-                    value_update(vstate['params'], vstate['target'],
-                                 vstate['opt_state'], value_stats,
-                                 states, rewards, kv)
 
         pol_params, pol_opt_state, pol_metrics, n_opt_steps = \
             run_mc_pilco(
@@ -205,46 +240,74 @@ def run(args, mm_states=False, mm_rewards=False, use_value=False,
                 pol_params, opt_state=pol_opt_state, optimizer=pol_opt,
                 opt_iters=args.pol_opt_iters, mm_states=mm_states,
                 mm_rewards=mm_rewards, mm_groups=args.mm_groups,
+                mm_method=args.mm_method,
                 clip_grad=args.pol_clip, discount=discount,
+                init_state_noise=init_noise,
                 resampling_period=args.resampling_period,
                 n_particles=args.pol_batch_size, key=ko,
                 n_opt_steps=n_opt_steps,
                 prioritized_replay=args.prioritized_replay,
                 value_spec=value_spec,
-                value_params=(vstate['params'] if use_value else None),
                 value_stats=value_stats,
-                on_iteration=on_iteration)
-        if use_value:
-            value_params, value_target = vstate['params'], vstate['target']
-            value_opt_state = vstate['opt_state']
+                value_update_fn=value_update,
+                value_state=value_state,
+                writer=writer,
+                writer_scope=f'mc_pilco/episode_{ps_it}',
+                verbose=args.debug)
         mean_ret = float(np.asarray(pol_metrics['mean_return'])[-20:].mean())
 
-        # ---- evaluate on the real system (`deep_pilco_mm.py:184-210`) ----
-        ret = apply_controller(env, host_policy(pol_params), args.control_H,
-                               stop_when_done=args.stop_when_done)
-        exp.append_episode(*ret, policy_params=jax.tree_util.tree_map(
-            np.asarray, pol_params))
-        ep_return = float(np.sum([np.sum(r) for r in ret[2]]))
-        eval_returns.append(ep_return)
         print(f'[{experiment_name}] episode {ps_it}: E_lml={E_lml:.3f} '
-              f'imagined_return={mean_ret:.3f} real_return={ep_return:.3f}')
+              f'imagined_return={mean_ret:.3f} real_return={ep_return:.3f}',
+              flush=True)
         if writer:
-            writer.add_scalar('robot/evaluation_loss', -ep_return, ps_it)
             writer.add_scalar('mc_pilco/mean_return', mean_ret, ps_it)
+
+        if args.plot_level > 0:
+            _save_rollout_plot(results_folder, ps_it, x0_pool, dyn, pol,
+                               args, dyn_params, dyn_stats, pol_params)
+        if args.debug:
+            np.savez(os.path.join(results_folder,
+                                  f'metrics_ep{ps_it}.npz'),
+                     **{k: np.asarray(v) for k, v in pol_metrics.items()})
 
         save_checkpoint(results_folder, dyn_params=dyn_params,
                         pol_params=pol_params,
-                        critic_params=value_params if use_value else None,
+                        critic_params=(value_state['params']
+                                       if use_value else None),
                         exp=exp, args=args)
+        if args.keep_best and best['params'] is not None:
+            from prob_mbrl_tpu.utils.checkpoint import save_pytree
+            save_pytree(os.path.join(results_folder,
+                                     'best_policy.pth.tar'), best['params'])
+
+    print(f'[{experiment_name}] best real return {best["return"]:.3f} '
+          f'at episode {best["episode"]}', flush=True)
     return eval_returns, results_folder
 
 
+def _save_rollout_plot(results_folder, ps_it, x0_pool, dyn, pol, args,
+                       dyn_params, dyn_stats, pol_params):
+    """--plot_level: save imagined-rollout figures (`deep_pilco_mm.py:238`)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from prob_mbrl_tpu.utils.plotting import plot_rollout
+    figs = plot_rollout(jnp.asarray(x0_pool[:25]), dyn, pol,
+                        args.pred_H * 2, dyn_params, dyn_stats, pol_params)
+    for fig, name in zip(figs, ('states', 'actions', 'rewards')):
+        fig.savefig(os.path.join(results_folder,
+                                 f'rollout_ep{ps_it}_{name}.png'), dpi=80)
+        plt.close(fig)
+
+
 def main(mm_states, mm_rewards, use_value=False, name='deep_pilco',
-         arg_overrides=None):
+         init_state_noise_mult=1e-1, arg_overrides=None):
     parser = get_argument_parser(name)
     args = parser.parse_args()
     for k, v in (arg_overrides or {}).items():
         if parser.get_default(k) == getattr(args, k):
             setattr(args, k, v)
     return run(args, mm_states=mm_states, mm_rewards=mm_rewards,
-               use_value=use_value, experiment_name=name)
+               use_value=use_value,
+               init_state_noise_mult=init_state_noise_mult,
+               experiment_name=name)

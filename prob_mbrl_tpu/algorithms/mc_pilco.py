@@ -92,9 +92,13 @@ class MCPILCOConfig:
     mm_states: bool = False
     mm_rewards: bool = False
     mm_groups: Optional[int] = None
-    # 'mix' = TPU-native orthogonal particle mixing (exact moments, one MXU
-    # matmul per MM step); 'cholesky' = reference-exact m + z @ chol(S)^T.
-    mm_method: str = 'mix'
+    # 'cholesky' = reference-exact m + z @ chol(S)^T resampling to a Gaussian
+    # (`rollout.py:20-29`) — the default, matching ``utils.rollout``;
+    # 'mix' = TPU-native orthogonal particle mixing (exact empirical moments,
+    # one MXU matmul per MM step, ~4x faster) — opt-in fast path; it does NOT
+    # re-Gaussianize the particle cloud (only CLT-asymptotically), see the
+    # A/B learning-curve validation in RESULTS.md.
+    mm_method: str = 'cholesky'
     infer_noise_variables: bool = False
     maximize: bool = True
     clip_grad: Optional[float] = 1.0
@@ -106,9 +110,18 @@ class MCPILCOConfig:
     with_priorities: bool = False
 
 
+_FN_CACHE = {}
+_FN_CACHE_MAX = 64
+
+
 def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
-                     mesh=None, particle_axis='particles'):
+                     value_update=None, mesh=None,
+                     particle_axis='particles'):
     """Build the jitted MC-PILCO policy-optimization function.
+
+    Results are cached on (specs, config, optimizer) identity so repeated
+    calls across episodes reuse the same jitted program (and its XLA
+    compilation cache) instead of re-tracing every episode.
 
     Args:
       dyn: ``models.DynamicsModel`` spec (static).
@@ -117,6 +130,16 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
       optimizer: optax GradientTransformation for the policy parameters.
       value_spec: optional ``models.Regressor`` spec for the terminal value
         bootstrap (its params/stats are call-time arguments).
+      value_update: optional jittable TD(H) critic update (from
+        ``algorithms.value.make_value_update_fn``) with signature
+        ``(params, target, opt_state, stats, states, rewards, key) ->
+        (params, target, opt_state, loss)``. When given, the critic is
+        refit INSIDE the iteration scan on every iteration — from the same
+        (stop-gradient) imagined trajectory used for the policy loss, with
+        the terminal bootstrap evaluated under the freshly-updated critic —
+        exactly the reference's ``on_rollout`` cadence
+        (`deep_pilco_no_mm_with_value.py:380-400`, `mc_pilco.py:120-140`).
+        ``opt`` then also takes/returns ``value_target``/``value_opt_state``.
       mesh: optional ``jax.sharding.Mesh``. When given, the particle batch is
         sharding-constrained to the ``particle_axis`` mesh axis so GSPMD
         keeps every per-particle tensor of the rollout sharded across
@@ -125,14 +148,32 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
 
     Returns:
       ``opt(pol_params, opt_state, dyn_params, dyn_stats, x0_pool, key,
-      n_opt_steps, iters, value_params=None, value_stats=None)`` ->
-      ``(pol_params, opt_state, metrics, n_opt_steps')`` where ``x0_pool`` is
-      a [N0, D] on-device pool of candidate initial states (from experience),
-      ``n_opt_steps`` the carried global PEGASUS counter, ``iters`` static.
-      ``metrics`` holds per-iteration ``loss`` and ``mean_return``; with
-      ``config.with_priorities`` it also holds per-iteration per-group
-      mean action-gradient norms (`mc_pilco.py:166-181`).
+      n_opt_steps, iters, value_params=None, value_stats=None,
+      value_target=None, value_opt_state=None, init_state_noise=None)`` ->
+      ``(pol_params, opt_state, metrics, n_opt_steps')`` — or, when
+      ``value_update`` is given, ``(pol_params, opt_state, metrics,
+      n_opt_steps', value_state)`` with ``value_state = (value_params,
+      value_target, value_opt_state)``. ``x0_pool`` is a [N0, D] on-device
+      pool of candidate initial states (from experience), ``n_opt_steps``
+      the carried global PEGASUS counter, ``iters`` static.
+      ``init_state_noise`` is an optional scalar or per-dim [D] array of
+      Gaussian noise scales added to sampled initial states each iteration
+      (the reference passes ``1e-2 * x0.std(0)`` / ``1e-1 * x0.std(0)``,
+      `deep_pilco_mm.py:261` / `deep_pilco_no_mm.py:261`); it is a runtime
+      argument so per-episode std changes don't retrigger compilation.
+      ``metrics`` holds per-iteration ``loss`` and ``mean_return`` (plus
+      ``v_loss`` with ``value_update``); with ``config.with_priorities`` it
+      also holds per-iteration per-group mean action-gradient norms
+      (`mc_pilco.py:166-181`).
     """
+    cache_key = (id(dyn), id(pol), config, id(optimizer), id(value_spec),
+                 id(value_update), id(mesh), particle_axis)
+    hit = _FN_CACHE.get(cache_key)
+    if hit is not None and (hit[0] is dyn and hit[1] is pol
+                            and hit[2] is optimizer
+                            and hit[3] is value_spec
+                            and hit[4] is value_update and hit[5] is mesh):
+        return hit[6]
     cfg = config
     B = cfg.n_particles
     G = cfg.mm_groups if cfg.mm_groups else B
@@ -188,14 +229,8 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         return (dyn_noise, pol_noise, value_noise, z_mm, z_rr)
 
     def loss_fn(pol_params, action_eps, x0, dyn_params, dyn_stats, noise,
-                step_key, value_params, value_stats):
+                step_key, value_params, value_stats, value_carry):
         dyn_noise, pol_noise, value_noise, z_mm, z_rr = noise
-        value_fn = None
-        if value_spec is not None:
-            def value_fn_(s):
-                return value_spec.apply(value_params, value_stats, s,
-                                        value_noise, return_samples=True)
-            value_fn = value_fn_ if value_params is not None else None
 
         traj = rollout_fn(
             x0, dyn, pol, cfg.steps, dyn_params, dyn_stats, pol_params,
@@ -208,12 +243,31 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
             resample_action_noise=not cfg.pegasus,
             key=step_key, action_eps=action_eps)
         states, actions, rewards = traj[:3]
+        sg = jax.lax.stop_gradient
+
+        # in-scan critic refit from the SAME (detached) trajectory, before
+        # the bootstrap — the reference's on_rollout ordering
+        # (`mc_pilco.py:120-121` then `:137-140`)
+        v_loss = jnp.zeros(())
+        if value_update is not None:
+            v_params, v_tgt, v_opt = value_carry
+            k_v = jax.random.fold_in(step_key, 0x7A1)
+            v_params, v_tgt, v_opt, v_loss = value_update(
+                v_params, v_tgt, v_opt, value_stats, sg(states), sg(rewards),
+                k_v)
+            value_carry = (v_params, v_tgt, v_opt)
+            bootstrap_params = jax.tree_util.tree_map(sg, v_params)
+        else:
+            bootstrap_params = value_params
 
         # [T, B] discounted rewards; sum over time -> per-particle returns
         disc = (rewards[..., 0] * w_t[:, None])
         returns = jnp.sum(disc, 0)
-        if value_fn is not None:
-            returns = returns + w_H * value_fn(states[-1])[..., 0]
+        if value_spec is not None and bootstrap_params is not None:
+            v_end = value_spec.apply(bootstrap_params, value_stats,
+                                     states[-1], value_noise,
+                                     return_samples=True)
+            returns = returns + w_H * v_end[..., 0]
         if cfg.maximize:
             returns = -returns
 
@@ -222,10 +276,11 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         if cfg.reg_weight > 0:
             loss = loss + cfg.reg_weight * pol.regularization_loss(pol_params)
         mean_return = jnp.mean(jnp.sum(rewards[..., 0], 0))
-        return loss, mean_return
+        return loss, (mean_return, value_carry, v_loss)
 
     def iteration(pol_params, opt_state, dyn_params, dyn_stats, x0_pool,
-                  noise, iter_key, value_params, value_stats):
+                  noise, iter_key, value_params, value_stats, value_carry,
+                  init_noise):
         noise = constrain_noise(noise)
 
         kx, kn, ks = jax.random.split(iter_key, 3)
@@ -234,42 +289,49 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         x0 = x0_pool[idx]
         if cfg.mm_groups:
             x0 = tile(x0, B // cfg.mm_groups)  # (`mc_pilco.py:98-100`)
-        if cfg.init_state_noise > 0:
+        if init_noise is not None:
+            # per-dim scales, e.g. 1e-2 * x0.std(0) (`deep_pilco_mm.py:261`)
+            x0 = x0 + init_noise * jax.random.normal(kn, x0.shape)
+        elif cfg.init_state_noise > 0:
             x0 = x0 + cfg.init_state_noise * jax.random.normal(kn, x0.shape)
         x0 = constrain_particles(x0)
 
         action_eps = constrain_time_particles(
             jnp.zeros((cfg.steps, B) + (pol_action_dims,)))
         if cfg.with_priorities:
-            (loss, mean_return), (g_pol, g_eps) = jax.value_and_grad(
+            (loss, aux), (g_pol, g_eps) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(
                     pol_params, action_eps, x0, dyn_params, dyn_stats, noise,
-                    ks, value_params, value_stats)
+                    ks, value_params, value_stats, value_carry)
             # per-step per-particle action-grad norms -> per-group scores
             norms = jnp.linalg.norm(g_eps, axis=-1)          # [T, B]
             norms = norms.reshape(cfg.steps, G, B // G).mean(-1)  # [T, G]
             scores = norms.mean(0)                           # [G]
         else:
-            (loss, mean_return), g_pol = jax.value_and_grad(
+            (loss, aux), g_pol = jax.value_and_grad(
                 loss_fn, has_aux=True)(
                     pol_params, action_eps, x0, dyn_params, dyn_stats, noise,
-                    ks, value_params, value_stats)
+                    ks, value_params, value_stats, value_carry)
             scores = jnp.zeros((G,))
+        mean_return, value_carry, v_loss = aux
 
         if cfg.clip_grad is not None:
             g_pol = clip_grad_norm(g_pol, cfg.clip_grad)
         updates, opt_state = optimizer.update(g_pol, opt_state, pol_params)
         pol_params = optax.apply_updates(pol_params, updates)
         metrics = {'loss': loss, 'mean_return': mean_return}
+        if value_update is not None:
+            metrics['v_loss'] = v_loss
         if cfg.with_priorities:
             metrics['priority_scores'] = scores
-        return pol_params, opt_state, metrics
+        return pol_params, opt_state, value_carry, metrics
 
     pol_action_dims = len(pol.max_u)
 
     @partial(jax.jit, static_argnames=('iters',))
     def opt(pol_params, opt_state, dyn_params, dyn_stats, x0_pool, key,
-            n_opt_steps, iters, value_params=None, value_stats=None):
+            n_opt_steps, iters, value_params=None, value_stats=None,
+            value_target=None, value_opt_state=None, init_state_noise=None):
         # `pegasus_key` is deliberately NOT folded with the per-call iteration
         # offset: the noise epoch depends only on the global opt-step counter,
         # so masks stay pinned across chunked calls exactly like the
@@ -291,9 +353,12 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
             noise_bank = jax.vmap(
                 lambda k: sample_all_noise(k, D))(epoch_keys)
 
+        value_carry0 = ((value_params, value_target, value_opt_state)
+                        if value_update is not None else None)
+
         def step(carry, i):
             del i
-            pol_params, opt_state, n = carry
+            pol_params, opt_state, n, v_carry = carry
             # keys are a function of the global counter, so chunked host
             # loops reproduce the single-launch stream exactly
             iter_key = jax.random.fold_in(key, n)
@@ -304,34 +369,60 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
                         a, e, keepdims=False), noise_bank)
             else:
                 noise = sample_all_noise(iter_key, D)
-            pol_params, opt_state, metrics = iteration(
+            v_params_in = (v_carry[0] if value_update is not None
+                           else value_params)
+            pol_params, opt_state, v_carry, metrics = iteration(
                 pol_params, opt_state, dyn_params, dyn_stats, x0_pool,
-                noise, iter_key, value_params, value_stats)
-            return (pol_params, opt_state, n + 1), metrics
+                noise, iter_key, v_params_in, value_stats, v_carry,
+                init_state_noise)
+            return (pol_params, opt_state, n + 1, v_carry), metrics
 
-        (pol_params, opt_state, n_opt_steps), metrics = jax.lax.scan(
-            step, (pol_params, opt_state, n_opt_steps), jnp.arange(iters))
+        (pol_params, opt_state, n_opt_steps, value_carry), metrics = \
+            jax.lax.scan(step,
+                         (pol_params, opt_state, n_opt_steps, value_carry0),
+                         jnp.arange(iters))
+        if value_update is not None:
+            return pol_params, opt_state, metrics, n_opt_steps, value_carry
         return pol_params, opt_state, metrics, n_opt_steps
 
+    if len(_FN_CACHE) >= _FN_CACHE_MAX:
+        _FN_CACHE.pop(next(iter(_FN_CACHE)))
+    _FN_CACHE[cache_key] = (dyn, pol, optimizer, value_spec, value_update,
+                            mesh, opt)
     return opt
 
 
 def mc_pilco(x0_pool, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
              opt_state=None, optimizer=None, exp=None, opt_iters=1000,
              value_spec=None, value_params=None, value_stats=None,
+             value_update_fn=None, value_state=None,
              pegasus=True, mm_states=False, mm_rewards=False, mm_groups=None,
-             mm_method='mix',
+             mm_method='cholesky',
              maximize=True, clip_grad=1.0, cvar_eps=0.0, reg_weight=0.0,
              discount=None, init_state_noise=0.0, resampling_period=499,
              n_particles=100, key=None, n_opt_steps=0, on_iteration=None,
              prioritized_replay=False, priority_alpha=0.6, priority_eps=1e-8,
-             init_priority_beta=1.0, chunk=None):
+             init_priority_beta=1.0, chunk=None, writer=None,
+             writer_scope='mc_pilco', verbose=False):
     """Host-level MC-PILCO loop (`mc_pilco.py:13-267` feature-complete path).
 
     Runs the jitted optimizer in chunks so host-side features — prioritized
-    initial-state replay through a SumTree, per-iteration callbacks — can
-    interleave. Without those features one chunk = the whole optimization =
-    one device launch.
+    initial-state replay through a SumTree, per-iteration callbacks, live
+    metric streaming — can interleave. Without those features one chunk =
+    the whole optimization = one device launch.
+
+    Args beyond ``make_mc_pilco_fn``'s:
+      init_state_noise: scalar or per-dim [D] array of Gaussian noise added
+        to sampled initial states each iteration (runtime, no recompiles).
+      value_update_fn: jittable TD(H) critic update; when given together
+        with ``value_state`` (a dict with 'params', 'target', 'opt_state'),
+        the critic refits every iteration inside the scan and
+        ``value_state`` is updated IN PLACE with the final critic.
+      writer: optional tensorboardX SummaryWriter; per-chunk mean loss /
+        mean_return / v_loss stream under ``writer_scope`` with the global
+        opt-step as x-axis (`train_regressor.py:148-158` namespacing).
+      verbose: print a one-line progress summary per chunk (the jit-native
+        stand-in for the reference's tqdm bar, `mc_pilco.py:56`).
 
     Returns (pol_params, opt_state, metrics_dict, n_opt_steps).
     """
@@ -348,14 +439,19 @@ def mc_pilco(x0_pool, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
         mm_method=mm_method,
         maximize=maximize, clip_grad=clip_grad, cvar_eps=cvar_eps,
         reg_weight=reg_weight, discount=discount,
-        init_state_noise=init_state_noise,
         resampling_period=resampling_period,
         with_priorities=prioritized_replay)
-    opt_fn = make_mc_pilco_fn(dyn, pol, cfg, optimizer, value_spec)
+    use_value_scan = (value_update_fn is not None and value_state is not None)
+    opt_fn = make_mc_pilco_fn(
+        dyn, pol, cfg, optimizer, value_spec,
+        value_update=value_update_fn if use_value_scan else None)
+    init_noise = (jnp.asarray(init_state_noise)
+                  if np.any(np.asarray(init_state_noise) > 0) else None)
 
     if chunk is None:
         chunk = opt_iters if (on_iteration is None and
-                              not prioritized_replay) else 50
+                              not prioritized_replay and writer is None and
+                              not verbose) else 100
 
     tree = None
     beta = init_priority_beta
@@ -370,6 +466,8 @@ def mc_pilco(x0_pool, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
 
     all_metrics = []
     done = 0
+    import time as _time
+    t_start = _time.perf_counter()
     pool = jnp.asarray(x0_pool)
     G = mm_groups if mm_groups else n_particles
     while done < opt_iters:
@@ -377,11 +475,36 @@ def mc_pilco(x0_pool, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
         if prioritized_replay:
             samples, idxs, _w = tree.sample(max(G, 2), beta=beta)
             pool = jnp.asarray(np.stack(samples), jnp.float32)
-        pol_params, opt_state, metrics, n_opt_steps = opt_fn(
-            pol_params, opt_state, dyn_params, dyn_stats, pool,
-            key, n_opt_steps, n, value_params, value_stats)
+        if use_value_scan:
+            (pol_params, opt_state, metrics, n_opt_steps,
+             (v_p, v_t, v_o)) = opt_fn(
+                pol_params, opt_state, dyn_params, dyn_stats, pool,
+                key, n_opt_steps, n, value_state['params'], value_stats,
+                value_state['target'], value_state['opt_state'],
+                init_state_noise=init_noise)
+            value_state.update(params=v_p, target=v_t, opt_state=v_o)
+        else:
+            pol_params, opt_state, metrics, n_opt_steps = opt_fn(
+                pol_params, opt_state, dyn_params, dyn_stats, pool,
+                key, n_opt_steps, n, value_params, value_stats,
+                init_state_noise=init_noise)
         metrics = jax.tree_util.tree_map(np.asarray, metrics)
         all_metrics.append(metrics)
+        if writer is not None:
+            writer.add_scalar('%s/training loss' % writer_scope,
+                              float(metrics['loss'].mean()), done + n)
+            writer.add_scalar('%s/mean_return' % writer_scope,
+                              float(metrics['mean_return'].mean()), done + n)
+            if 'v_loss' in metrics:
+                writer.add_scalar('%s/value loss' % writer_scope,
+                                  float(metrics['v_loss'].mean()), done + n)
+        if verbose:
+            rate = (done + n) / (_time.perf_counter() - t_start)
+            msg = ('Pred. Cumm. rewards: %f' if maximize
+                   else 'Pred. Cumm. costs: %f')
+            print(('[mc_pilco] iter %d/%d (%.0f it/s) ' + msg)
+                  % (done + n, opt_iters, rate,
+                     float(metrics['mean_return'][-1])), flush=True)
         if prioritized_replay:
             scores = metrics['priority_scores'].mean(0)
             counts = tree.counts[np.asarray(idxs) - tree.max_size + 1]

@@ -149,13 +149,18 @@ class RandomPriorMLP:
 
     Drop-in for ``MLPSpec`` wherever a Regressor/density network expects one
     (same init/sample_noise/apply/regularization_loss contract), so
-    ``Regressor(mlp=RandomPriorMLP(mlp_spec), ...)`` just works. Unlike the
-    notebook (which adds the prior only while ``self.train`` is truthy), the
-    prior is always added, keeping train and eval predictions consistent.
+    ``Regressor(mlp=RandomPriorMLP(mlp_spec), ...)`` just works. The prior is
+    always added — which is also the notebook's *actual* behavior: its
+    ``if self.train`` gate tests nn.Module's bound ``train`` method (always
+    truthy), so the notebook never disables the prior either.
 
     The prior's parameters live in the params pytree (so they checkpoint and
-    replicate like everything else) but are wrapped in ``stop_gradient``;
-    first-order optimizers therefore never move them.
+    replicate like everything else) but are wrapped in ``stop_gradient``, so
+    gradients never reach them. Caveat: optimizers whose update is not purely
+    gradient-driven — decoupled weight decay (``optax.adamw``, or
+    ``optim.radam``/``optim.sdlbfgs`` with ``weight_decay > 0``) — would
+    still shrink the prior toward zero; mask them off the ``'prior'``
+    subtree (e.g. ``optax.masked``) when using such optimizers.
     """
     mlp: Any
     prior_scale: float = 1.0
@@ -179,8 +184,11 @@ class RandomPriorMLP:
                 'prior': self.mlp.sample_noise(kp, batch_shape, dtype)}
 
     def apply(self, params, x, noise=None, train=False):
-        nm = noise.get('model') if noise is not None else None
-        npr = noise.get('prior') if noise is not None else None
+        # index (not .get): a mismatched noise pytree (e.g. plain MLPSpec
+        # noise with 'drop_*' keys) must fail loudly instead of silently
+        # disabling dropout
+        nm = noise['model'] if noise is not None else None
+        npr = noise['prior'] if noise is not None else None
         y = self.mlp.apply(params['model'], x, nm, train)
         prior = self.mlp.apply(params['prior'], x, npr, train)
         return y + self.prior_scale * jax.lax.stop_gradient(prior)

@@ -29,7 +29,9 @@ def fit_stats(X, Y):
     with zero-variance dims clamped to scale 4.0.
     """
     def scale(V):
-        s = 4.0 * jnp.std(V, 0, keepdims=True)
+        # unbiased std (ddof=1), matching torch.std (`core.py:143,147`)
+        ddof = 1 if V.shape[0] > 1 else 0
+        s = 4.0 * jnp.std(V, 0, keepdims=True, ddof=ddof)
         return jnp.where(s == 0, 4.0, s)
 
     mx = jnp.mean(X, 0, keepdims=True)
@@ -150,7 +152,11 @@ class Policy:
                                           return_samples=return_samples,
                                           **density_kwargs)
             if not return_samples:
-                # (mean, log_std) -> mean + noise convention (`core.py:237-239`)
+                # greedy evaluation: squashed MEAN action. The reference's
+                # non-sample path adds sampled noise pre-squash
+                # (`core.py:236-239`); sampled actions here go through
+                # ``return_samples=True`` with an explicit noise pytree
+                # instead, so this path is deliberately deterministic.
                 mean, log_std = u[0], u[1]
                 u = mean
         return self.scale * jnp.tanh(u) + self.bias

@@ -40,7 +40,9 @@ def mm_resample(samples, z, jitter=1e-12):
     """
     m, S = particle_moments(samples)
     L = safe_cholesky(S, initial_jitter=jitter)
-    z = (z - jnp.mean(z, -2, keepdims=True)) / jnp.std(z, -2, keepdims=True)
+    # unbiased std (ddof=1), matching torch.Tensor.std (`rollout.py:27`)
+    z = (z - jnp.mean(z, -2, keepdims=True)) / jnp.std(z, -2, keepdims=True,
+                                                       ddof=1)
     z = jax.lax.stop_gradient(z)
     return m + jnp.matmul(z, jnp.swapaxes(L, -1, -2))
 

@@ -66,6 +66,13 @@ def get_argument_parser(title=''):
     parser.add_argument('--n_devices', type=int, default=None,
                         help='shard particles over this many devices')
     parser.add_argument('--dtype', type=str, default='float32')
+    parser.add_argument('--mm_method', type=str, default='cholesky',
+                        choices=['cholesky', 'mix'],
+                        help="moment-matching kernel: 'cholesky' = "
+                             "reference-exact Gaussian resampling, 'mix' = "
+                             'TPU-native orthogonal particle mixing '
+                             '(faster; exact moments, asymptotically '
+                             'Gaussian)')
     return parser
 
 

@@ -40,9 +40,16 @@ import jax.numpy as jnp
 import optax
 
 
-def init_priority_state(n, dtype=jnp.float32):
-    """Fresh per-sample priority state for ``prioritized_sampling``."""
-    return {'p': jnp.ones((n,), dtype), 'counts': jnp.zeros((n,), dtype),
+def init_priority_state(n, n_valid=None, dtype=jnp.float32):
+    """Fresh per-sample priority state for ``prioritized_sampling``.
+
+    ``n_valid`` masks out padding rows (priority 0 -> log-priority -inf ->
+    never sampled by ``jax.random.categorical``).
+    """
+    p = jnp.ones((n,), dtype)
+    if n_valid is not None:
+        p = jnp.where(jnp.arange(n) < n_valid, p, 0.0)
+    return {'p': p, 'counts': jnp.zeros((n,), dtype),
             'beta': jnp.asarray(0.4, dtype), 'step': jnp.asarray(0, jnp.int32)}
 
 
@@ -100,12 +107,16 @@ def make_train_fn(reg, optimizer, batchsize=100, reg_weight=1.0,
 
     @partial(jax.jit, static_argnames=('iters',))
     def train(params, opt_state, Xn, Yn, key, iters, reg_opt_state=None,
-              priority_state=None):
+              priority_state=None, n_valid=None):
+        # Xn/Yn may be padded to a size bucket (see ``pad_to_bucket``);
+        # ``n_valid`` is the true row count as a device scalar, so growing
+        # datasets re-trace only when they cross a bucket boundary.
         N = Xn.shape[0]
+        n = N if n_valid is None else n_valid
         if decoupled_reg and reg_opt_state is None:
             reg_opt_state = reg_optimizer.init(params)
         if prioritized_sampling and priority_state is None:
-            priority_state = init_priority_state(N)
+            priority_state = init_priority_state(N, n_valid)
 
         def step(carry, k):
             params, opt_state, reg_opt_state, prio = carry
@@ -113,28 +124,28 @@ def make_train_fn(reg, optimizer, batchsize=100, reg_weight=1.0,
 
             if prioritized_sampling:
                 warm = prio['step'] < priority_warmup
-                idx_uniform = jax.random.randint(k_idx, (batchsize,), 0, N)
+                idx_uniform = jax.random.randint(k_idx, (batchsize,), 0, n)
                 idx_prio = jax.random.categorical(
                     k_idx, jnp.log(prio['p']), shape=(batchsize,))
                 idx = jnp.where(warm, idx_uniform, idx_prio)
                 # importance weights (N p)^-beta, max-normalized
                 # (`experience_dataset.py:351-367`)
                 p_sel = prio['p'][idx] / jnp.sum(prio['p'])
-                w = (N * p_sel) ** (-prio['beta'])
+                w = (n * p_sel) ** (-prio['beta'])
                 weights = jnp.where(warm, 1.0, w / jnp.max(w))
             else:
-                idx = jax.random.randint(k_idx, (batchsize,), 0, N)
+                idx = jax.random.randint(k_idx, (batchsize,), 0, n)
                 weights = jnp.ones((batchsize,), Xn.dtype)
 
             x, y = Xn[idx], Yn[idx]
             noise = reg.sample_noise(k_noise, (batchsize,))
             (loss, (Enlml, log_probs)), grads = jax.value_and_grad(
-                data_loss_fn, has_aux=True)(params, x, y, noise, weights, N)
+                data_loss_fn, has_aux=True)(params, x, y, noise, weights, n)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
 
             if decoupled_reg:
-                rgrads = jax.grad(reg_loss_fn)(params, N)
+                rgrads = jax.grad(reg_loss_fn)(params, n)
                 rupdates, reg_opt_state = reg_optimizer.update(
                     rgrads, reg_opt_state, params)
                 params = optax.apply_updates(params, rupdates)
@@ -175,6 +186,52 @@ def normalize_dataset(stats, X, Y):
     return Xn, Yn
 
 
+def pad_to_bucket(X, Y, min_rows=64):
+    """Zero-pad (X, Y) rows up to the next power-of-two bucket.
+
+    Episodic datasets grow by ``control_H`` rows per episode; compiling the
+    training scan per exact size would re-trace every episode. Padding to
+    power-of-two buckets bounds recompiles to O(log N) over a whole run;
+    the padding rows are never sampled (minibatch indices are drawn below
+    ``n_valid``).
+
+    Returns (Xp, Yp, n_valid) with ``n_valid`` a device int32 scalar.
+    """
+    n = X.shape[0]
+    bucket = max(min_rows, 1 << (n - 1).bit_length())
+    pad = bucket - n
+    if pad:
+        X = jnp.concatenate([X, jnp.zeros((pad,) + X.shape[1:], X.dtype)], 0)
+        Y = jnp.concatenate([Y, jnp.zeros((pad,) + Y.shape[1:], Y.dtype)], 0)
+    return X, Y, jnp.asarray(n, jnp.int32)
+
+
+_TRAIN_FN_CACHE = {}
+_TRAIN_FN_CACHE_MAX = 64
+
+
+def _cached_train_fn(reg, optimizer, batchsize, reg_weight, decoupled_reg,
+                     reg_optimizer, prioritized_sampling, priority_eps,
+                     priority_alpha):
+    key = (id(reg), id(optimizer), batchsize, reg_weight, decoupled_reg,
+           id(reg_optimizer), prioritized_sampling, priority_eps,
+           priority_alpha)
+    hit = _TRAIN_FN_CACHE.get(key)
+    if hit is not None and hit[0] is reg and hit[1] is optimizer \
+            and hit[2] is reg_optimizer:
+        return hit[3]
+    fn = make_train_fn(reg, optimizer, batchsize, reg_weight,
+                       decoupled_reg=decoupled_reg,
+                       reg_optimizer=reg_optimizer,
+                       prioritized_sampling=prioritized_sampling,
+                       priority_eps=priority_eps,
+                       priority_alpha=priority_alpha)
+    if len(_TRAIN_FN_CACHE) >= _TRAIN_FN_CACHE_MAX:
+        _TRAIN_FN_CACHE.pop(next(iter(_TRAIN_FN_CACHE)))
+    _TRAIN_FN_CACHE[key] = (reg, optimizer, reg_optimizer, fn)
+    return fn
+
+
 def train_regressor(reg, params, stats, X, Y, key, iters=2000, batchsize=100,
                     optimizer=None, opt_state=None, reg_weight=1.0,
                     angle_dims=(), decoupled_reg=False, reg_optimizer=None,
@@ -194,14 +251,13 @@ def train_regressor(reg, params, stats, X, Y, key, iters=2000, batchsize=100,
     if opt_state is None:
         opt_state = optimizer.init(params)
     Xn, Yn = normalize_dataset(stats, X, Y)
-    train = make_train_fn(reg, optimizer, batchsize, reg_weight,
-                          decoupled_reg=decoupled_reg,
-                          reg_optimizer=reg_optimizer,
-                          prioritized_sampling=prioritized_sampling,
-                          priority_eps=priority_eps,
-                          priority_alpha=priority_alpha)
+    Xn, Yn, n_valid = pad_to_bucket(Xn, Yn)
+    train = _cached_train_fn(reg, optimizer, batchsize, reg_weight,
+                             decoupled_reg, reg_optimizer,
+                             prioritized_sampling, priority_eps,
+                             priority_alpha)
     params, opt_state, metrics, aux = train(params, opt_state, Xn, Yn, key,
-                                            iters)
+                                            iters, n_valid=n_valid)
     if return_aux:
         return params, opt_state, metrics, aux
     return params, opt_state, metrics
