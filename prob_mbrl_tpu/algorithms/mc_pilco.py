@@ -42,7 +42,6 @@ import optax
 
 from ..ops.math import clip_grad_norm
 from ..ops.moment_matching import sample_mm_mixing
-from ..utils.rollout import pre_roll_mixing
 from ..utils.rollout import rollout as rollout_fn
 from ..utils.experience import SumTree
 from ..utils.core import tile
@@ -112,6 +111,10 @@ class MCPILCOConfig:
 
 _FN_CACHE = {}
 _FN_CACHE_MAX = 64
+
+# Largest ungrouped orthogonal-mixing matrix before 'mix' moment matching
+# auto-partitions particles into independent groups (see make_mc_pilco_fn).
+MIX_AUTO_GROUP_SIZE = 256
 
 
 def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
@@ -197,19 +200,35 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
             return x
 
     use_mix = (cfg.mm_method == 'mix' and not cfg.infer_noise_variables)
+    # Mixing matrices are [M, M] per group: at large B an ungrouped matrix is
+    # an O(B^2) memory / O(B^3) QR hazard (the PEGASUS bank holds n_epochs of
+    # them), so above MIX_AUTO_GROUP_SIZE particles the mixing is
+    # auto-partitioned into independent groups of <= that size. Per-group
+    # moment matching is the `mm_groups` semantics (`rollout.py:125-145`)
+    # applied at a size where the CLT-Gaussianization is already saturated;
+    # on a sharded particle axis groups also align with device shards (no
+    # cross-device matmul). Explicit ``mm_groups`` always wins.
+    mix_groups = cfg.mm_groups
+    if use_mix and mix_groups is None and B > MIX_AUTO_GROUP_SIZE:
+        mix_groups = B // MIX_AUTO_GROUP_SIZE
+        import warnings
+        warnings.warn(
+            f'mm_method="mix" with {B} particles: auto-grouping the mixing '
+            f'into {mix_groups} groups of {B // mix_groups} (per-group '
+            'moment matching) to avoid a [B, B] mixing matrix; pass '
+            'mm_groups explicitly to override.', stacklevel=2)
 
     def sample_all_noise(epoch_key, D):
         kd, kp, kv, kz1, kz2 = jax.random.split(epoch_key, 5)
         dyn_noise = dyn.sample_noise(kd, (B,))
         pol_noise = pol.sample_noise(kp, (B,))
         if use_mix:
-            # fixed noise = orthogonal particle-mixing matrices (PEGASUS),
-            # with the per-step cyclic decorrelation (`rollout.py:53-59`)
-            # composed in HERE — once per noise epoch, outside the hot loop
-            z_mm = pre_roll_mixing(
-                sample_mm_mixing(kz1, B, cfg.mm_groups), cfg.steps)
-            z_rr = pre_roll_mixing(
-                sample_mm_mixing(kz2, B, cfg.mm_groups), cfg.steps)
+            # fixed noise = ONE orthogonal particle-mixing matrix per epoch
+            # (PEGASUS); the per-step cyclic decorrelation (`rollout.py:
+            # 53-59`) is an in-scan roll of the mixed cloud (== Pi^t U), so
+            # no [T, M, M] stack is ever materialized.
+            z_mm = sample_mm_mixing(kz1, B, mix_groups)
+            z_rr = sample_mm_mixing(kz2, B, mix_groups)
         else:
             z_mm = jax.random.normal(kz1, (B, D))
             z_rr = jax.random.normal(kz2, (B, 1))
@@ -238,7 +257,8 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
             mm_states=cfg.mm_states, mm_rewards=cfg.mm_rewards,
             infer_noise_variables=cfg.infer_noise_variables,
             z_mm=z_mm, z_rr=z_rr,
-            mm_groups=cfg.mm_groups, mm_method=cfg.mm_method,
+            mm_groups=(mix_groups if use_mix else cfg.mm_groups),
+            mm_method=cfg.mm_method,
             resample_state_noise=not cfg.pegasus,
             resample_action_noise=not cfg.pegasus,
             key=step_key, action_eps=action_eps)

@@ -149,7 +149,7 @@ def sample_mm_mixing(key, n_particles, mm_groups=None, dtype=jnp.float32):
                       precision='highest')
 
 
-def mm_resample_mix(samples, U):
+def mm_resample_mix(samples, U, shift=None):
     """Moment-match by orthogonal particle mixing: ``m + U @ (x - m)``.
 
     Exactly preserves the empirical mean and covariance of ``samples`` for
@@ -161,17 +161,32 @@ def mm_resample_mix(samples, U):
       samples: ``[..., M, D]`` particles.
       U: ``[..., M, M]`` orthogonal mixing fixing the ones vector (PEGASUS
         noise; stop-gradient is applied here like the reference detaches z).
+      shift: optional (possibly traced) integer. When given, the mixed cloud
+        is cyclically rolled by ``shift`` along the particle axis — the exact
+        equivalent of mixing with ``Pi^shift @ U`` (the reference's per-step
+        cyclic noise decorrelation, `rollout.py:53-59`) without ever
+        materializing per-step ``[T, M, M]`` matrix stacks: a roll is a
+        permutation (O(M D) data movement, gradient = inverse roll), and a
+        rolled U is still orthogonal and still fixes the ones vector, so the
+        exact-moments property is untouched.
 
     Returns:
       ``[..., M, D]`` resampled particles, differentiable wrt samples.
     """
     m = jnp.mean(samples, -2, keepdims=True)
     U = jax.lax.stop_gradient(U)
-    return m + jnp.matmul(U, samples - m)
+    y = jnp.matmul(U, samples - m)
+    if shift is not None:
+        y = jnp.roll(y, shift, axis=-2)
+    return m + y
 
 
-def grouped_mix(samples, U, mm_groups):
-    """Per-group :func:`mm_resample_mix`: [M, D] with [G, M/G, M/G] mixing."""
+def grouped_mix(samples, U, mm_groups, shift=None):
+    """Per-group :func:`mm_resample_mix`: [M, D] with [G, M/G, M/G] mixing.
+
+    ``shift`` rolls within each group (the per-group analog of the cyclic
+    decorrelation; see :func:`mm_resample_mix`).
+    """
     D = samples.shape[-1]
-    out = mm_resample_mix(samples.reshape(mm_groups, -1, D), U)
+    out = mm_resample_mix(samples.reshape(mm_groups, -1, D), U, shift=shift)
     return out.reshape(-1, D)

@@ -73,10 +73,10 @@ def pre_roll_mixing(U, steps):
     return jax.vmap(lambda t: jnp.roll(U, t, axis=-2))(jnp.arange(steps))
 
 
-def _mm_mix(x, U, mm_groups):
+def _mm_mix(x, U, mm_groups, shift=None):
     if mm_groups is not None:
-        return mm.grouped_mix(x, U, mm_groups)
-    return mm.mm_resample_mix(x, U)
+        return mm.grouped_mix(x, U, mm_groups, shift=shift)
+    return mm.mm_resample_mix(x, U, shift=shift)
 
 
 def _mm_rewards_batched(rewards, z_rr, steps, B, mm_groups,
@@ -92,7 +92,10 @@ def _mm_rewards_batched(rewards, z_rr, steps, B, mm_groups,
             # batched matmul over the whole horizon
             return jax.vmap(lambda r, U: _mm_mix(r, U, mm_groups))(
                 rewards, z_rr)
-        return jax.vmap(lambda r: _mm_mix(r, z_rr, mm_groups))(rewards)
+        # single shared matrix: per-step cyclic roll of the mixed cloud
+        # decorrelates consecutive steps (== Pi^t U, see mm_resample_mix)
+        return jax.vmap(lambda r, t: _mm_mix(r, z_rr, mm_groups, shift=t))(
+            rewards, jnp.arange(steps))
 
     tb = (jnp.arange(steps)[:, None] + jnp.arange(B)[None, :]) % B
     z = z_rr[tb]                                               # [T, B, zD]
@@ -184,7 +187,9 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
     if use_mix:
         # Per-step mixing matrices ([T, ..., M, M], e.g. from
         # ``pre_roll_mixing``) stream through xs; a single matrix is closed
-        # over and reused every step.
+        # over and decorrelated per step by an in-scan cyclic roll of the
+        # mixed cloud (== Pi^t U) — so one [M, M] matrix per PEGASUS epoch
+        # is ever materialized, not a [T, M, M] stack.
         if mm_states and _mix_is_per_step(z_mm, steps, mm_groups):
             xs['z_mm'] = z_mm
     else:
@@ -229,8 +234,12 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
         raw_next_states = next_states
         if mm_states:
             if use_mix:
-                U_t = step_xs.get('z_mm', z_mm)
-                next_states = _mm_mix(next_states, U_t, mm_groups)
+                if 'z_mm' in step_xs:  # pre-rolled per-step matrices
+                    next_states = _mm_mix(next_states, step_xs['z_mm'],
+                                          mm_groups)
+                else:  # shared matrix + in-scan cyclic decorrelation
+                    next_states = _mm_mix(next_states, z_mm, mm_groups,
+                                          shift=t)
             else:
                 next_states = _mm_step(next_states, step_xs['z_mm'],
                                        mm_groups, infer_noise_variables,

@@ -210,6 +210,25 @@ def test_mm_resample_mix_gradients_flow():
     assert np.abs(np.asarray(g)).sum() > 0
 
 
+def test_mm_resample_mix_shift_equals_rolled_matrix():
+    # rolling the mixed cloud by t == mixing with Pi^t U (the per-step cyclic
+    # decorrelation), and a rolled U still preserves the empirical moments
+    rng = np.random.RandomState(11)
+    samples = jnp.array(rng.randn(32, 3).astype(np.float32))
+    U = ops.sample_mm_mixing(jax.random.PRNGKey(3), 32)
+    for t in (0, 1, 5):
+        out_shift = ops.mm_resample_mix(samples, U, shift=t)
+        out_rolled = ops.mm_resample_mix(samples, jnp.roll(U, t, axis=-2))
+        np.testing.assert_allclose(np.asarray(out_shift),
+                                   np.asarray(out_rolled), atol=1e-5)
+    m_in, S_in = ops.particle_moments(samples)
+    m_out, S_out = ops.particle_moments(
+        ops.mm_resample_mix(samples, U, shift=7))
+    np.testing.assert_allclose(np.asarray(m_out), np.asarray(m_in), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(S_out), np.asarray(S_in),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_grouped_mix_shapes_and_moments():
     rng = np.random.RandomState(7)
     samples = jnp.array(rng.randn(100, 4).astype(np.float32))
