@@ -471,3 +471,73 @@ class TestOptimizerParity:
             w = optax.apply_updates(w, updates)
         np.testing.assert_allclose(np.asarray(w), t2n(wt), rtol=1e-5,
                                    atol=1e-6)
+
+
+class TestLunarLanderParity:
+    """Exact trajectory parity of the Box2D lander vs the reference env.
+
+    Both sides use RandomState seeding (classic-gym semantics) and the same
+    Box2D build, so equal seeds must give bitwise-equal uniform draws and
+    hence numerically equal trajectories (`lunar_lander.py:137-357`).
+    """
+
+    def _pair(self, seed):
+        Box2D = pytest.importorskip('Box2D')  # noqa: F841
+        from prob_mbrl.envs.lunar_lander import (LunarLanderContinuous as
+                                                 RefLander)
+        from prob_mbrl_tpu.envs.lunar_lander import LunarLanderContinuous
+        ref, ours = RefLander(), LunarLanderContinuous()
+        # The reference spawns decorative exhaust-particle bodies
+        # (`lunar_lander.py:234-252`) whose construction trips a numpy-scalar
+        # TypeError in this Box2D build; they are collision-masked to terrain
+        # only and never touch the lander, so stubbing them out leaves the
+        # lander trajectory unchanged — which this parity test then proves.
+        import types
+        ref._create_particle = lambda *a, **k: types.SimpleNamespace(
+            ApplyLinearImpulse=lambda *a2, **k2: None, ttl=0.0)
+        ref.seed(seed)
+        ours.seed(seed)
+        return ref, ours
+
+    @staticmethod
+    def _coerce_impulse_args(body):
+        # this Box2D build rejects numpy float32 scalars in b2Vec2 tuples;
+        # coerce to python floats (identical values, no behavior change)
+        orig = body.ApplyLinearImpulse
+        body.ApplyLinearImpulse = lambda imp, pos, wake: orig(
+            (float(imp[0]), float(imp[1])),
+            (float(pos[0]), float(pos[1])), wake)
+
+    def test_trajectory_parity_heuristic(self):
+        from prob_mbrl.envs.lunar_lander import heuristic
+        for seed in (0, 7):
+            ref, ours = self._pair(seed)
+            s_ref, s_ours = ref.reset(), ours.reset()
+            self._coerce_impulse_args(ref.lander)
+            np.testing.assert_allclose(s_ours, s_ref, rtol=1e-6, atol=1e-6)
+            for t in range(250):
+                a = heuristic(ref, s_ref)
+                s_ref, r_ref, d_ref, _ = ref.step(a)
+                s_ours, r_ours, d_ours, _ = ours.step(a)
+                np.testing.assert_allclose(s_ours, s_ref, rtol=1e-5,
+                                           atol=1e-5, err_msg=f't={t}')
+                # shaping multiplies state by 100, so the 1e-5 state
+                # tolerance legitimately amplifies into the reward
+                assert abs(r_ours - r_ref) < 5e-3, (t, r_ours, r_ref)
+                assert d_ours == d_ref, t
+                if d_ref:
+                    break
+
+    def test_parameterization_changes_dynamics(self):
+        # the ctor knobs must actually reach the physics
+        from prob_mbrl_tpu.envs.lunar_lander import LunarLanderContinuous
+        weak = LunarLanderContinuous(main_engine_power=1.0)
+        strong = LunarLanderContinuous(main_engine_power=30.0)
+        weak.seed(3)
+        strong.seed(3)
+        sw, ss = weak.reset(), strong.reset()
+        np.testing.assert_allclose(sw, ss, atol=1e-6)  # same world, same kick
+        for _ in range(12):
+            sw = weak.step([1.0, 0.0])[0]
+            ss = strong.step([1.0, 0.0])[0]
+        assert ss[3] > sw[3]  # stronger main engine -> larger upward velocity
