@@ -28,6 +28,34 @@ def setup_reference_path():
     for name in ('Iterable', 'Mapping', 'Sequence', 'Callable'):
         if not hasattr(collections, name):
             setattr(collections, name, getattr(collections.abc, name))
+    _patch_torch_compat()
+
+
+def _patch_torch_compat():
+    """Shims for reference code written against torch<=1.4 APIs.
+
+    * ``ScalingTransform.__init__`` does ``self.event_dim = event_dim``
+      (`conditional_density.py:30`); modern torch made ``Transform.event_dim``
+      a read-only property derived from ``domain``. Give the subclass a
+      settable property that also swaps in the matching independent
+      constraint so TransformedDistribution shape logic stays consistent.
+    """
+    import torch
+    from torch.distributions import constraints
+
+    def _set(self, v):
+        self.__dict__['_event_dim'] = int(v)
+        dom = (constraints.independent(constraints.real, int(v))
+               if v else constraints.real)
+        self.__dict__['domain'] = dom
+        self.__dict__['codomain'] = dom
+
+    try:
+        from prob_mbrl.models.conditional_density import ScalingTransform
+        ScalingTransform.event_dim = property(
+            lambda self: self.__dict__.get('_event_dim', 0), _set)
+    except Exception:  # pragma: no cover - reference import failure
+        pass
 
 
 def main():
