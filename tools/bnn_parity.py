@@ -156,17 +156,18 @@ def main():
     p.add_argument('--hids', type=str, default='200,200,200,200')
     p.add_argument('--out', type=str, default='runs/bnn_parity.json')
     p.add_argument('--side', choices=['both', 'ref', 'tpu'], default='both')
+    p.add_argument('--seed', type=int, default=0)
     args = p.parse_args()
     hids = tuple(int(h) for h in args.hids.split(','))
 
     X, Y = make_dataset()
     print(f'dataset: {X.shape[0]} samples', flush=True)
     results = {'iters': args.iters, 'hids': list(hids),
-               'n_samples': int(X.shape[0])}
+               'n_samples': int(X.shape[0]), 'seed': args.seed}
     if args.side in ('both', 'tpu'):
-        results['tpu'] = run_tpu_side(X, Y, args.iters, hids)
+        results['tpu'] = run_tpu_side(X, Y, args.iters, hids, seed=args.seed)
     if args.side in ('both', 'ref'):
-        results['reference'] = run_reference_side(X, Y, args.iters, hids)
+        results['reference'] = run_reference_side(X, Y, args.iters, hids, seed=args.seed)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, 'w') as fh:
         json.dump(results, fh, indent=2)
