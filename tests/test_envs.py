@@ -222,7 +222,12 @@ def test_lander_reward_differentiable_through_contact():
 
 
 def test_lander_gym_api_and_registry():
+    # with box2d present the registry returns the reference-faithful host
+    # env; the JAX-native lander stays the on-device/differentiable variant
     env = envs.make('LunarLander')
+    if envs._HAS_LUNAR_LANDER:
+        from prob_mbrl_tpu.envs.lunar_lander import LunarLander as B2Lander
+        assert isinstance(env, B2Lander)
     env.seed(3)
     obs = env.reset()
     assert obs.shape == (8,)
@@ -233,8 +238,11 @@ def test_lander_gym_api_and_registry():
         if done:
             break
     assert np.all(np.isfinite(obs))
-    # batched on-device ground truth step
-    xs = jnp.tile(jnp.asarray(obs)[None], (4, 1))
+    # batched on-device ground-truth step (JAX lander)
+    jenv = envs.JaxLunarLander()
+    jenv.seed(3)
+    jobs = jenv.reset()
+    xs = jnp.tile(jnp.asarray(jobs)[None], (4, 1))
     us = jnp.zeros((4, 2))
-    nxt = env.batch_step(xs, us)
+    nxt = jenv.batch_step(xs, us)
     assert nxt.shape == (4, 8)
