@@ -50,7 +50,9 @@ def mm_resample_psum(samples, z, axis_name, jitter=1e-12):
     L = safe_cholesky(S, initial_jitter=jitter)
     n = jax.lax.psum(jnp.asarray(z.shape[0], z.dtype), axis_name)
     z_mean = jax.lax.psum(jnp.sum(z, 0), axis_name) / n
-    z_var = jax.lax.psum(jnp.sum((z - z_mean) ** 2, 0), axis_name) / n
+    # unbiased (ddof=1) like torch .std() and ops.mm_resample
+    z_var = jax.lax.psum(jnp.sum((z - z_mean) ** 2, 0),
+                         axis_name) / (n - 1.0)
     z = (z - z_mean) * jax.lax.rsqrt(z_var + 1e-30)
     z = jax.lax.stop_gradient(z)
     return m + z @ L.T

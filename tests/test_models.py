@@ -235,9 +235,10 @@ class TestRegressorPolicy:
         X = jnp.array(rng.randn(100, 3).astype(np.float32) * 5 + 2)
         Y = jnp.array(rng.randn(100, 2).astype(np.float32) * 3 - 1)
         stats = reg.fit_stats(X, Y)
-        np.testing.assert_allclose(np.asarray(stats['Sx']),
-                                   4 * np.std(np.asarray(X), 0, keepdims=True),
-                                   rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(stats['Sx']),
+            4 * np.std(np.asarray(X), 0, keepdims=True, ddof=1),
+            rtol=1e-4)
         params = reg.init(jax.random.PRNGKey(0))
         mean, log_std = reg.apply(params, stats, X[:5])
         assert mean.shape == (5, 2)
