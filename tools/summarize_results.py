@@ -1,0 +1,115 @@
+"""Aggregate the cartpole swing-up learning runs into RESULTS.md evidence.
+
+Reads, from ``runs/``:
+  * driver logs (``tpu_*_s*.log`` / ``ref_*_s*.log``) — per-episode REAL
+    returns collected with the exploration policy during training;
+  * evaluation curves (``curves_*.json`` from tools/eval_curves.py) —
+    per-snapshot stochastic-policy replay returns (5 evals each), the
+    reference `evaluate_policy.py` protocol.
+
+Emits a JSON summary (per run: collection curve, eval curve, best mean eval
+return, episodes-to-threshold) and a markdown table block for RESULTS.md.
+
+Usage:  python tools/summarize_results.py [--threshold 20] [--out runs/summary.json]
+"""
+import argparse
+import glob
+import json
+import os
+import re
+
+import numpy as np
+
+RUNS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'runs')
+
+
+def collection_curve(log_path):
+    """Per-episode real returns from a driver log (either framework)."""
+    txt = open(log_path, errors='replace').read()
+    ours = re.findall(r'real_return=([-\d.]+)', txt)
+    if ours:
+        return [float(x) for x in ours]
+    ref = re.findall(r'Value of run \[([-\d.]+)\]', txt)
+    return [float(x) for x in ref]
+
+
+def episodes_to_threshold(eval_curve, threshold):
+    """First snapshot index whose mean eval return clears the threshold."""
+    for c in eval_curve:
+        if np.mean(c['returns']) >= threshold:
+            return c['episode']
+    return None
+
+
+def summarize(threshold):
+    out = {}
+    for log in sorted(glob.glob(os.path.join(RUNS, '*_s[0-9].log'))):
+        name = os.path.basename(log)[:-4]
+        if name.startswith('curves_') or name.startswith('bnn'):
+            continue
+        entry = {'collection_returns': collection_curve(log)}
+        curve_file = os.path.join(RUNS, f'curves_{name}.json')
+        if os.path.exists(curve_file):
+            with open(curve_file) as fh:
+                curve = json.load(fh)['curve']
+            means = [float(np.mean(c['returns'])) for c in curve]
+            entry['eval_means'] = means
+            entry['best_eval_mean'] = float(np.max(means)) if means else None
+            entry['episodes_to_threshold'] = episodes_to_threshold(
+                curve, threshold)
+            entry['final5_eval_mean'] = (float(np.mean(means[-5:]))
+                                         if means else None)
+        if entry['collection_returns']:
+            out[name] = entry
+    return out
+
+
+def group_stats(summary, prefix, threshold):
+    runs = {k: v for k, v in summary.items() if k.startswith(prefix)}
+    if not runs:
+        return None
+    rows = []
+    for k in sorted(runs):
+        v = runs[k]
+        rows.append(dict(
+            run=k,
+            best_eval=v.get('best_eval_mean'),
+            final5=v.get('final5_eval_mean'),
+            eps_to_thr=v.get('episodes_to_threshold'),
+            best_collect=float(np.max(v['collection_returns'])),
+        ))
+    return rows
+
+
+def markdown(summary, threshold):
+    lines = ['| run | best eval return (5-eval mean) | final-5 eval mean | '
+             f'episodes to ≥{threshold} | best collected return |',
+             '|---|---|---|---|---|']
+    for prefix in ('ref_no_mm', 'tpu_no_mm', 'ref_mm', 'tpu_mm', 'tpu_mix'):
+        rows = group_stats(summary, prefix, threshold)
+        if not rows:
+            continue
+        for r in rows:
+            fmt = lambda x, d=2: ('—' if x is None else
+                                  (f'{x:.{d}f}' if isinstance(x, float)
+                                   else str(x)))
+            lines.append(f"| {r['run']} | {fmt(r['best_eval'])} | "
+                         f"{fmt(r['final5'])} | {fmt(r['eps_to_thr'])} | "
+                         f"{fmt(r['best_collect'])} |")
+    return '\n'.join(lines)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--threshold', type=float, default=20.0)
+    ap.add_argument('--out', default=os.path.join(RUNS, 'summary.json'))
+    args = ap.parse_args()
+    summary = summarize(args.threshold)
+    with open(args.out, 'w') as fh:
+        json.dump(summary, fh, indent=1)
+    print(markdown(summary, args.threshold))
+
+
+if __name__ == '__main__':
+    main()
