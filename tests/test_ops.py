@@ -229,6 +229,33 @@ def test_mm_resample_mix_shift_equals_rolled_matrix():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_mm_resample_mix_gaussianizes_skewed_cloud():
+    # the POINT of moment matching is resampling toward a Gaussian
+    # (`rollout.py:20-29`); mixing achieves it CLT-style: each output
+    # particle is a random unit-norm recombination of all M inputs. A
+    # strongly skewed cloud must come out with near-Gaussian shape stats at
+    # the reference particle count (B=100).
+    rng = np.random.RandomState(0)
+    samples = jnp.asarray(rng.exponential(1.0, (100, 1)).astype(np.float32))
+
+    def skew_kurt(x):
+        x = np.asarray(x, np.float64).ravel()
+        z = (x - x.mean()) / x.std()
+        return np.mean(z ** 3), np.mean(z ** 4) - 3.0
+
+    s_in, k_in = skew_kurt(samples)
+    assert s_in > 1.5  # exponential: skewness ~2
+    skews, kurts = [], []
+    for seed in range(5):
+        U = ops.sample_mm_mixing(jax.random.PRNGKey(seed), 100)
+        s, k = skew_kurt(ops.mm_resample_mix(samples, U))
+        skews.append(abs(s))
+        kurts.append(abs(k))
+    # mixed clouds are near-Gaussian: shape stats shrink by >3x vs input
+    assert np.mean(skews) < s_in / 3, (np.mean(skews), s_in)
+    assert np.mean(kurts) < abs(k_in) / 3 + 0.3, (np.mean(kurts), k_in)
+
+
 def test_grouped_mix_shapes_and_moments():
     rng = np.random.RandomState(7)
     samples = jnp.array(rng.randn(100, 4).astype(np.float32))
