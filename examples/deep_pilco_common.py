@@ -84,14 +84,28 @@ def make_host_policy(pol, expl_noise=0.0, seed=0, minU=None, maxU=None,
         p, x, noise=pol.sample_noise(k, (1,)), return_samples=True))
     fwd_mean = jax.jit(lambda p, x: pol.apply(p, x, noise=None,
                                               return_samples=False))
-    key_holder = {'key': jax.random.PRNGKey(rng.randint(2 ** 31))}
+    # Per-step keys come from a bank refilled in ONE device call: an eager
+    # `jax.random.split` per control step costs a remote round-trip per step
+    # on a tunnel-attached TPU (~10s per 40-step episode).
+    split_bank = jax.jit(lambda k: jax.random.split(k, 257))
+    key_state = {'key': jax.random.PRNGKey(rng.randint(2 ** 31)),
+                 'bank': None, 'i': 0}
+
+    def next_key():
+        if key_state['bank'] is None or key_state['i'] >= 256:
+            fresh = np.asarray(split_bank(key_state['key']))
+            key_state['key'] = jnp.asarray(fresh[0])
+            key_state['bank'] = fresh[1:]
+            key_state['i'] = 0
+        k = key_state['bank'][key_state['i']]
+        key_state['i'] += 1
+        return k
 
     def policy(params):
         def call(x, t=0):
             x = jnp.asarray(x, jnp.float32).reshape(1, -1)
             if stochastic:
-                key_holder['key'], k = jax.random.split(key_holder['key'])
-                u = fwd_sample(params, x, k)
+                u = fwd_sample(params, x, next_key())
             else:
                 u = fwd_mean(params, x)
             u = np.asarray(u).flatten()

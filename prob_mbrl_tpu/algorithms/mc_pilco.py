@@ -62,7 +62,9 @@ def discount_weights(discount, steps, dtype=jnp.float32):
     else:
         w = discount ** np.arange(steps)
         wH = discount ** steps
-    return jnp.asarray(w, dtype), jnp.asarray(wH, dtype)
+    # numpy on purpose: called at trace time in every training jit; a device
+    # constant here costs remote round-trips per trace (see ops/math.py note)
+    return np.asarray(w, np.float32), np.float32(wH)
 
 
 def cvar_filter(returns, cvar_eps):
@@ -332,7 +334,7 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
                 loss_fn, has_aux=True)(
                     pol_params, action_eps, x0, dyn_params, dyn_stats, noise,
                     ks, value_params, value_stats, value_carry)
-            scores = jnp.zeros((G,))
+            scores = jnp.zeros((G,))  # traced context: stays a splat const
         mean_return, value_carry, v_loss = aux
 
         if cfg.clip_grad is not None:
@@ -369,7 +371,7 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
             first_epoch = n_opt_steps // cfg.resampling_period
             epoch_keys = jax.vmap(
                 lambda e: jax.random.fold_in(pegasus_key, first_epoch + e))(
-                    jnp.arange(n_epochs))
+                    np.arange(n_epochs))
             noise_bank = jax.vmap(
                 lambda k: sample_all_noise(k, D))(epoch_keys)
 
@@ -400,7 +402,7 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         (pol_params, opt_state, n_opt_steps, value_carry), metrics = \
             jax.lax.scan(step,
                          (pol_params, opt_state, n_opt_steps, value_carry0),
-                         jnp.arange(iters))
+                         np.arange(iters))
         if value_update is not None:
             return pol_params, opt_state, metrics, n_opt_steps, value_carry
         return pol_params, opt_state, metrics, n_opt_steps

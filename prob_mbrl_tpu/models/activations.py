@@ -4,6 +4,7 @@ Represented as named pure functions so MLP specs stay hashable/static under jit.
 """
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def relu(x):
@@ -36,7 +37,8 @@ def hh_sinlu(x):
     and relu to the second half of the feature axis.
     """
     n = x.shape[-1]
-    signs = 2 * (jnp.arange(n) % 2) - 1
+    # numpy: static constant traced in every MLP forward (see ops/math.py)
+    signs = (2 * (np.arange(n) % 2) - 1).astype(np.float32)
     x = x * signs
     half = n // 2
     x1, x2 = x[..., :half], x[..., half:]

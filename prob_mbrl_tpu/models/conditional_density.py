@@ -16,6 +16,7 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import distributions as dist_ops
 from .mlp import MLPSpec
@@ -33,8 +34,8 @@ def fit_scaling(X, eps=1e-4):
     delta = X - mean + eps * jnp.std(X, 0)
     cov = (delta.T @ delta) / (X.shape[0] - 1)
     L = 2.0 * jnp.linalg.cholesky(cov)
-    iL = jax.scipy.linalg.solve_triangular(L, jnp.eye(L.shape[-1],
-                                                      dtype=L.dtype),
+    iL = jax.scipy.linalg.solve_triangular(L, np.eye(L.shape[-1],
+                                                     dtype=np.float32),
                                            lower=True)
     return dict(mean=mean, L=L, iL=iL)
 
@@ -60,7 +61,7 @@ class ConditionalDensityModel:
         # unit-variance Gaussian around the predictions (`:117-123`); built
         # as a diag MVN so event-dim log_prob composes with AffineTril
         D = params.shape[-1]
-        eye = jnp.eye(D, dtype=params.dtype)
+        eye = np.eye(D, dtype=np.float32)
         return dist_ops.MultivariateNormalTril(params, temperature * eye)
 
     # -- param / noise management (delegates to the MLP spec) ---------------
@@ -120,7 +121,7 @@ class GaussianDN(ConditionalDensityModel):
         tril = jnp.tril(outer, -1)
         diag = jnp.exp(jnp.clip(d, -10.0, 10.0))
         scale_tril = temperature * (
-            tril + diag[..., None] * jnp.eye(D, dtype=params.dtype))
+            tril + diag[..., None] * np.eye(D, dtype=np.float32))
         return dist_ops.MultivariateNormalTril(mu, scale_tril)
 
 
@@ -144,7 +145,7 @@ class GaussianMDN(ConditionalDensityModel):
         tril = jnp.tril(outer, -1)
         diag = jnp.exp(jnp.clip(d, -10.0, 10.0))
         scale_tril = temperature * (
-            tril + diag[..., None] * jnp.eye(D, dtype=params.dtype))
+            tril + diag[..., None] * np.eye(D, dtype=np.float32))
         logit_pi = params[..., 4 * D * nc:].reshape(shp + (nc,)) / temperature
         mix = dist_ops.Categorical(logit_pi)
         comp = dist_ops.MultivariateNormalTril(mu, scale_tril)

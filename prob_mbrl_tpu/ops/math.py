@@ -8,6 +8,15 @@ fully jittable, branch-free on the host.
 """
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# NOTE on constants: every static (shape-derived) constant below is built
+# with numpy, not jnp. A `jnp.arange`/`jnp.eye` on static inputs executes
+# EAGERLY on the default accelerator even while tracing, and its value is
+# fetched back device->host when the jaxpr is lowered. On a remote-attached
+# TPU each such line costs two network round-trips per trace — hundreds of
+# ms — and these helpers sit inside doubly-nested scans that trace in every
+# training jit. numpy constants embed directly into the lowered module.
 
 
 def softplus_upper_clip(x, upper):
@@ -50,8 +59,8 @@ def small_cholesky(S):
             below = below - jnp.einsum('...ik,...k->...i', Lprev, Lj)
         col = below / ljj[..., None]
         # zero out the strictly-upper part of this column
-        mask = (jnp.arange(D) >= j).astype(S.dtype)
-        col = jnp.where(jnp.arange(D) == j, ljj[..., None], col) * mask
+        mask = (np.arange(D) >= j).astype(np.float32)
+        col = jnp.where(np.arange(D) == j, ljj[..., None], col) * mask
         cols.append(col)
     return jnp.stack(cols, -1)
 
@@ -82,7 +91,7 @@ def safe_cholesky(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
       the last attempt (NaNs propagate, surfacing the error to the caller).
     """
     D = S.shape[-1]
-    eye = jnp.eye(D, dtype=S.dtype)
+    eye = np.eye(D, dtype=np.float32)
     # scale-free jitter: relative to the mean diagonal magnitude
     diag = jnp.diagonal(S, axis1=-2, axis2=-1)
     scale = jnp.mean(jnp.abs(diag), -1, keepdims=True)[..., None] + 1e-30
@@ -93,8 +102,8 @@ def safe_cholesky(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
     # (0/0 in the cholesky backward of a singular factor). Only the final,
     # well-conditioned factorization is differentiated.
     S_ng = jax.lax.stop_gradient(S)
-    jitters = initial_jitter * (factor ** jnp.arange(max_tries,
-                                                     dtype=S.dtype))
+    jitters = (initial_jitter
+               * (factor ** np.arange(max_tries))).astype(np.float32)
 
     chol = small_cholesky if D <= 16 else jnp.linalg.cholesky
 
@@ -109,7 +118,7 @@ def safe_cholesky(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
     ok = finite & conditioned
     first_ok = jnp.argmax(ok)
     idx = jnp.where(ok.any(), first_ok, max_tries - 1)
-    return chol(S + (jitters[idx] * scale) * eye)
+    return chol(S + (jnp.take(jitters, idx) * scale) * eye)
 
 
 def clip_grad_norm(grads, max_norm, eps=1e-6):

@@ -11,6 +11,7 @@ has a psum-based distributed counterpart in ``prob_mbrl_tpu.parallel``.
 """
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .math import safe_cholesky
 
@@ -132,16 +133,20 @@ def sample_mm_mixing(key, n_particles, mm_groups=None, dtype=jnp.float32):
 
     M = n_particles
     if M == 1:
-        return jnp.ones((1, 1), dtype)
+        return jnp.full((1, 1), 1.0, dtype)
     A = jax.random.normal(key, (M - 1, M - 1), dtype)
     Q, R = jnp.linalg.qr(A)
     Q = Q * jnp.sign(jnp.diagonal(R))[None, :]
-    H = jnp.zeros((M, M), dtype).at[0, 0].set(1.0).at[1:, 1:].set(Q)
-    e1 = jnp.zeros((M,), dtype).at[0].set(1.0)
-    w = jnp.ones((M,), dtype) / jnp.sqrt(jnp.asarray(M, dtype))
-    u = e1 - w
-    u = u / jnp.linalg.norm(u)
-    V = jnp.eye(M, dtype=dtype) - 2.0 * jnp.outer(u, u)
+    # static pieces in numpy: this traces inside every training jit, and on a
+    # remote-attached device each eager jnp constant is a network round-trip
+    e00 = np.zeros((M, M), np.float64)
+    e00[0, 0] = 1.0
+    H = jnp.pad(Q, ((1, 0), (1, 0))) + e00.astype(dtype)
+    e1 = np.zeros((M,), np.float64)
+    e1[0] = 1.0
+    u = e1 - np.ones((M,)) / np.sqrt(M)
+    u = u / np.linalg.norm(u)
+    V = (np.eye(M) - 2.0 * np.outer(u, u)).astype(dtype)
     # full-precision products: U is built once per PEGASUS epoch, and bf16
     # MXU passes would cost ~1e-3 orthogonality error for no speedup that
     # matters here

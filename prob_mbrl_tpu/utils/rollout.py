@@ -27,8 +27,14 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import moment_matching as mm
+
+# Static (shape-derived) index constants below are numpy on purpose: a
+# `jnp.arange` on static inputs executes eagerly on the default device even
+# mid-trace, which on a remote-attached TPU costs a network round-trip per
+# line per trace (and another when lowering embeds the constant).
 
 
 def get_z_rnd(z, i, batch):
@@ -37,7 +43,7 @@ def get_z_rnd(z, i, batch):
     Matches the reference quirk: indices wrap modulo the *batch size*, not the
     noise buffer length, so only the first ``batch`` rows are ever used.
     """
-    idxs = (i + jnp.arange(batch)) % batch
+    idxs = (i + np.arange(batch)) % batch
     return z[idxs]
 
 
@@ -70,7 +76,7 @@ def pre_roll_mixing(U, steps):
     gather whose backward is a TPU-hostile scatter) and feed the [T, ..., M,
     M] stack through the scan's xs.
     """
-    return jax.vmap(lambda t: jnp.roll(U, t, axis=-2))(jnp.arange(steps))
+    return jax.vmap(lambda t: jnp.roll(U, t, axis=-2))(np.arange(steps))
 
 
 def _mm_mix(x, U, mm_groups, shift=None):
@@ -95,9 +101,9 @@ def _mm_rewards_batched(rewards, z_rr, steps, B, mm_groups,
         # single shared matrix: per-step cyclic roll of the mixed cloud
         # decorrelates consecutive steps (== Pi^t U, see mm_resample_mix)
         return jax.vmap(lambda r, t: _mm_mix(r, z_rr, mm_groups, shift=t))(
-            rewards, jnp.arange(steps))
+            rewards, np.arange(steps))
 
-    tb = (jnp.arange(steps)[:, None] + jnp.arange(B)[None, :]) % B
+    tb = (np.arange(steps)[:, None] + np.arange(B)[None, :]) % B
     z = z_rr[tb]                                               # [T, B, zD]
     fn = (mm.mm_resample_infer_ns if infer_noise_variables
           else mm.mm_resample)
@@ -169,7 +175,7 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
         keys = jax.random.split(subkey, steps)
         return jax.vmap(lambda k: sample_fn(k, (B,))['density'])(keys)
 
-    xs = {'t': jnp.arange(steps)}
+    xs = {'t': np.arange(steps)}
     if resample_state_noise or resample_action_noise:
         assert key is not None, 'key required when resampling noise per step'
         kd, kp = jax.random.split(key)
@@ -195,7 +201,7 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
     else:
         # the cholesky z-buffers are cyclically pre-rolled into per-step xs
         if mm_states:
-            tb = (jnp.arange(steps)[:, None] + jnp.arange(B)[None, :]) % B
+            tb = (np.arange(steps)[:, None] + np.arange(B)[None, :]) % B
             xs['z_mm'] = z_mm[tb]
 
     # The reward pipeline never feeds back into the state recursion, so it is

@@ -67,13 +67,24 @@ def eval_tpu(run_dir, n_evals, eval_seed):
 
     fwd = jax.jit(lambda p, x, k: pol.apply(
         p, x, noise=pol.sample_noise(k, (1,)), return_samples=True))
-    key_holder = {'k': jax.random.PRNGKey(eval_seed)}
+    # key bank refilled in one device call (an eager split per control step
+    # is a remote round-trip per step on a tunnel-attached TPU)
+    split_bank = jax.jit(lambda k: jax.random.split(k, 257))
+    key_state = {'k': jax.random.PRNGKey(eval_seed), 'bank': None, 'i': 256}
+
+    def next_key():
+        if key_state['i'] >= 256:
+            fresh = np.asarray(split_bank(key_state['k']))
+            key_state['k'] = jnp.asarray(fresh[0])
+            key_state['bank'], key_state['i'] = fresh[1:], 0
+        k = key_state['bank'][key_state['i']]
+        key_state['i'] += 1
+        return k
 
     def stochastic(params):
         def call(x, t=0):
-            key_holder['k'], k = jax.random.split(key_holder['k'])
             x = jnp.asarray(x, jnp.float32).reshape(1, -1)
-            return np.asarray(fwd(params, x, k)).flatten()
+            return np.asarray(fwd(params, x, next_key())).flatten()
         return call
 
     control_H = args.get('control_H', 40)
