@@ -162,7 +162,13 @@ def main():
     ap.add_argument('--n_evals', type=int, default=5)
     ap.add_argument('--eval_seed', type=int, default=1234)
     ap.add_argument('--out', required=True)
+    ap.add_argument('--cpu', action='store_true',
+                    help='force the local CPU backend (leave the TPU free '
+                         'for concurrent training runs)')
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     run_dir = resolve_run_dir(args.run_dir)
     print(f'evaluating {run_dir}', flush=True)
