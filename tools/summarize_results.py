@@ -86,7 +86,8 @@ def markdown(summary, threshold):
     lines = ['| run | best eval return (5-eval mean) | final-5 eval mean | '
              f'episodes to ≥{threshold} | best collected return |',
              '|---|---|---|---|---|']
-    for prefix in ('ref_no_mm', 'tpu_no_mm', 'ref_mm', 'tpu_mm', 'tpu_mix'):
+    for prefix in ('ref_no_mm', 'tpu_no_mm', 'ref_mm', 'tpu_mm', 'tpu_mix',
+                   'tpu_value'):
         rows = group_stats(summary, prefix, threshold)
         if not rows:
             continue
