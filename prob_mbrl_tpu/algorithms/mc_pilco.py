@@ -64,7 +64,8 @@ def discount_weights(discount, steps, dtype=jnp.float32):
         wH = discount ** steps
     # numpy on purpose: called at trace time in every training jit; a device
     # constant here costs remote round-trips per trace (see ops/math.py note)
-    return np.asarray(w, np.float32), np.float32(wH)
+    dtype = np.dtype(dtype)
+    return np.asarray(w, dtype), dtype.type(wH)
 
 
 def cvar_filter(returns, cvar_eps):

@@ -35,7 +35,7 @@ def fit_scaling(X, eps=1e-4):
     cov = (delta.T @ delta) / (X.shape[0] - 1)
     L = 2.0 * jnp.linalg.cholesky(cov)
     iL = jax.scipy.linalg.solve_triangular(L, np.eye(L.shape[-1],
-                                                     dtype=np.float32),
+                                                     dtype=X.dtype),
                                            lower=True)
     return dict(mean=mean, L=L, iL=iL)
 
@@ -61,7 +61,7 @@ class ConditionalDensityModel:
         # unit-variance Gaussian around the predictions (`:117-123`); built
         # as a diag MVN so event-dim log_prob composes with AffineTril
         D = params.shape[-1]
-        eye = np.eye(D, dtype=np.float32)
+        eye = np.eye(D, dtype=params.dtype)
         return dist_ops.MultivariateNormalTril(params, temperature * eye)
 
     # -- param / noise management (delegates to the MLP spec) ---------------
@@ -121,7 +121,7 @@ class GaussianDN(ConditionalDensityModel):
         tril = jnp.tril(outer, -1)
         diag = jnp.exp(jnp.clip(d, -10.0, 10.0))
         scale_tril = temperature * (
-            tril + diag[..., None] * np.eye(D, dtype=np.float32))
+            tril + diag[..., None] * np.eye(D, dtype=params.dtype))
         return dist_ops.MultivariateNormalTril(mu, scale_tril)
 
 
@@ -145,7 +145,7 @@ class GaussianMDN(ConditionalDensityModel):
         tril = jnp.tril(outer, -1)
         diag = jnp.exp(jnp.clip(d, -10.0, 10.0))
         scale_tril = temperature * (
-            tril + diag[..., None] * np.eye(D, dtype=np.float32))
+            tril + diag[..., None] * np.eye(D, dtype=params.dtype))
         logit_pi = params[..., 4 * D * nc:].reshape(shp + (nc,)) / temperature
         mix = dist_ops.Categorical(logit_pi)
         comp = dist_ops.MultivariateNormalTril(mu, scale_tril)

@@ -59,7 +59,7 @@ def small_cholesky(S):
             below = below - jnp.einsum('...ik,...k->...i', Lprev, Lj)
         col = below / ljj[..., None]
         # zero out the strictly-upper part of this column
-        mask = (np.arange(D) >= j).astype(np.float32)
+        mask = (np.arange(D) >= j).astype(S.dtype)
         col = jnp.where(np.arange(D) == j, ljj[..., None], col) * mask
         cols.append(col)
     return jnp.stack(cols, -1)
@@ -91,7 +91,7 @@ def safe_cholesky(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
       the last attempt (NaNs propagate, surfacing the error to the caller).
     """
     D = S.shape[-1]
-    eye = np.eye(D, dtype=np.float32)
+    eye = np.eye(D, dtype=S.dtype)
     # scale-free jitter: relative to the mean diagonal magnitude
     diag = jnp.diagonal(S, axis1=-2, axis2=-1)
     scale = jnp.mean(jnp.abs(diag), -1, keepdims=True)[..., None] + 1e-30
@@ -103,7 +103,7 @@ def safe_cholesky(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
     # well-conditioned factorization is differentiated.
     S_ng = jax.lax.stop_gradient(S)
     jitters = (initial_jitter
-               * (factor ** np.arange(max_tries))).astype(np.float32)
+               * (factor ** np.arange(max_tries))).astype(S.dtype)
 
     chol = small_cholesky if D <= 16 else jnp.linalg.cholesky
 

@@ -21,9 +21,26 @@ TINY_PILCO = ['--ps_iters', '1', '--control_H', '8', '--pred_H', '4',
               '--dyn_shape', '16,16', '--pol_shape', '16,16']
 
 
-def run_example(script, *extra, timeout=420):
+def hermetic_cpu_env():
+    """Subprocess env that cannot touch the shared TPU tunnel.
+
+    JAX_PLATFORMS=cpu alone is NOT hermetic here: the axon sitecustomize
+    registers the remote-TPU PJRT plugin at interpreter startup whenever
+    PALLAS_AXON_POOL_IPS is set, and that registration dials the tunnel —
+    which can hang for minutes when the shared chip is contended (the
+    round-2 `evaluate_policy` smoke-test timeouts). Stripping the pool-IPs
+    var makes sitecustomize a no-op, so the subprocess never opens the
+    tunnel at all.
+    """
     env = dict(os.environ, JAX_PLATFORMS='cpu', MPLBACKEND='Agg')
     env.pop('XLA_FLAGS', None)  # single virtual device is enough & faster
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    env.pop('PALLAS_AXON_REMOTE_COMPILE', None)
+    return env
+
+
+def run_example(script, *extra, timeout=420):
+    env = hermetic_cpu_env()
     out = subprocess.run(
         [sys.executable, os.path.join(EXAMPLES, script), *extra],
         capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO)
@@ -80,8 +97,7 @@ def test_mbddpg(tmp_path):
 
 @pytest.mark.slow
 def test_bnn_regression_tiny():
-    env = dict(os.environ, JAX_PLATFORMS='cpu', MPLBACKEND='Agg')
-    env.pop('XLA_FLAGS', None)
+    env = hermetic_cpu_env()
     code = ('import sys; sys.path.insert(0, "examples"); '
             'import bnn_regression as b; b.main(iters=40, plot=False)')
     out = subprocess.run([sys.executable, '-c', code], capture_output=True,
