@@ -44,7 +44,13 @@ from prob_mbrl_tpu.utils.checkpoint import (save_checkpoint,
 
 
 def build_models(D, U, maxU, minU, args, learn_reward, reward_func):
-    """Dynamics + policy specs from flags (`deep_pilco_mm.py:116-151`)."""
+    """Dynamics + policy specs from flags (`deep_pilco_mm.py:116-151`).
+
+    ``--dtype bfloat16`` routes the MLP matmuls through bf16 on the MXU
+    (params, reductions and density heads stay float32).
+    """
+    compute_dtype = (jnp.bfloat16 if getattr(args, 'dtype', 'float32') ==
+                     'bfloat16' else None)
     dynE = D + 1 if learn_reward else D
     if args.dyn_components > 1:
         output_density = models.GaussianMixtureDensity(
@@ -54,7 +60,8 @@ def build_models(D, U, maxU, minU, args, learn_reward, reward_func):
     dyn_mlp = models.MLPSpec(
         D + U, output_density.n_inputs, tuple(args.dyn_shape),
         dropout=(models.cdropout(args.dyn_drop_rate)
-                 if args.dyn_drop_rate > 0 else None))
+                 if args.dyn_drop_rate > 0 else None),
+        compute_dtype=compute_dtype)
     dyn = models.DynamicsModel(
         regressor=models.Regressor(mlp=dyn_mlp,
                                    output_density=output_density),
@@ -64,7 +71,8 @@ def build_models(D, U, maxU, minU, args, learn_reward, reward_func):
     pol_mlp = models.MLPSpec(
         D, pol_density.n_inputs, tuple(args.pol_shape),
         dropout=(models.bdropout(args.pol_drop_rate)
-                 if args.pol_drop_rate > 0 else None))
+                 if args.pol_drop_rate > 0 else None),
+        compute_dtype=compute_dtype)
     pol = models.Policy(mlp=pol_mlp, output_density=pol_density,
                         max_u=tuple(maxU), min_u=tuple(minU))
     return dyn, pol
@@ -136,6 +144,22 @@ def run(args, mm_states=False, mm_rewards=False, use_value=False,
                     if discount == 'auto' else float(discount))
 
     dyn, pol = build_models(D, U, maxU, minU, args, learn_reward, reward_func)
+
+    # --n_devices: shard the imagined particle batch over a device mesh.
+    # GSPMD keeps every per-particle tensor of the rollout sharded; MM
+    # moments and the mean loss become psum collectives (parallel/rollout.py)
+    mesh = None
+    if args.n_devices and args.n_devices > 1:
+        from prob_mbrl_tpu import parallel
+        if args.pol_batch_size % args.n_devices:
+            raise SystemExit(
+                f'--pol_batch_size {args.pol_batch_size} must divide by '
+                f'--n_devices {args.n_devices}')
+        mesh = parallel.make_mesh(args.n_devices)
+        print(f'[{experiment_name}] sharding {args.pol_batch_size} particles '
+              f'over {args.n_devices} devices '
+              f'({[d.platform for d in mesh.devices.flat][0]})', flush=True)
+
     key = jax.random.PRNGKey(args.seed)
     key, kd, kp = jax.random.split(key, 3)
     dyn_params = dyn.init(kd)
@@ -267,7 +291,7 @@ def run(args, mm_states=False, mm_rewards=False, use_value=False,
                 value_state=value_state,
                 writer=writer,
                 writer_scope=f'mc_pilco/episode_{ps_it}',
-                verbose=args.debug)
+                verbose=args.debug, mesh=mesh)
         mean_ret = float(np.asarray(pol_metrics['mean_return'])[-20:].mean())
 
         print(f'[{experiment_name}] episode {ps_it}: E_lml={E_lml:.3f} '

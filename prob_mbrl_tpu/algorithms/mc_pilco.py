@@ -426,7 +426,7 @@ def mc_pilco(x0_pool, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
              n_particles=100, key=None, n_opt_steps=0, on_iteration=None,
              prioritized_replay=False, priority_alpha=0.6, priority_eps=1e-8,
              init_priority_beta=1.0, chunk=None, writer=None,
-             writer_scope='mc_pilco', verbose=False):
+             writer_scope='mc_pilco', verbose=False, mesh=None):
     """Host-level MC-PILCO loop (`mc_pilco.py:13-267` feature-complete path).
 
     Runs the jitted optimizer in chunks so host-side features — prioritized
@@ -467,7 +467,7 @@ def mc_pilco(x0_pool, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
     use_value_scan = (value_update_fn is not None and value_state is not None)
     opt_fn = make_mc_pilco_fn(
         dyn, pol, cfg, optimizer, value_spec,
-        value_update=value_update_fn if use_value_scan else None)
+        value_update=value_update_fn if use_value_scan else None, mesh=mesh)
     init_noise = (jnp.asarray(init_state_noise)
                   if np.any(np.asarray(init_state_noise) > 0) else None)
 

@@ -5,6 +5,8 @@ the sharded MC-PILCO optimizer must reproduce single-device results up to
 reduction order (SURVEY §4: device-count spoofing as the fake-backend
 substitute).
 """
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -135,3 +137,102 @@ class TestShardedMCPILCO:
                                dyn_params, dyn_stats, x0_pool,
                                jax.random.PRNGKey(2), 0, 3)
         assert np.all(np.isfinite(metrics['loss']))
+
+
+class TestStaticCollectiveAudit:
+    """Compile-time audit of the collectives the sharded loss emits.
+
+    Real multi-chip hardware is unavailable here (BASELINE.md scaling
+    caveat); what CAN be checked today is the lowered program itself:
+    compile the sharded MM loss for 2/4/8-device meshes and assert the
+    psum structure — per-step global moment-matching reductions plus the
+    final mean-loss reduction — lands in the optimized HLO as all-reduces
+    whose count is device-count invariant (SPMD: one program, any N).
+    """
+
+    def _compiled_hlo(self, n_devices, steps=3):
+        dyn, pol, dyn_params, dyn_stats, pol_params = tiny_setup()
+        mesh = parallel.make_mesh(n_devices)
+        B = 16
+        key = jax.random.PRNGKey(0)
+        x0 = 0.1 * jax.random.normal(key, (B, 4))
+        dyn_noise = dyn.sample_noise(jax.random.fold_in(key, 1), (B,))
+        pol_noise = pol.sample_noise(jax.random.fold_in(key, 2), (B,))
+        z_mm = jax.random.normal(jax.random.fold_in(key, 3), (B, 4))
+        z_rr = jax.random.normal(jax.random.fold_in(key, 4), (B, 1))
+        loss_fn = parallel.make_sharded_loss_fn(
+            dyn, pol, steps, mesh, mm_states=True, mm_rewards=True)
+        compiled = jax.jit(loss_fn).lower(
+            pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
+            z_mm, z_rr).compile()
+        return compiled.as_text()
+
+    def test_allreduce_count_is_device_invariant(self):
+        counts = {}
+        for n in (2, 4, 8):
+            hlo = self._compiled_hlo(n)
+            counts[n] = hlo.count('all-reduce')
+        assert counts[2] == counts[4] == counts[8], counts
+        # at minimum: the per-step MM moment reductions (states + rewards
+        # are batched into the scan body) and the final mean-loss psum
+        assert counts[8] >= 2, counts
+
+    def test_collectives_scale_with_steps_not_devices(self):
+        # MM psums live in the scan body -> all-reduce op count in the
+        # lowered module is constant in steps too (scan reuses the body)
+        h3 = self._compiled_hlo(4, steps=3)
+        h6 = self._compiled_hlo(4, steps=6)
+        assert h3.count('all-reduce') == h6.count('all-reduce')
+
+
+class TestDistributedInitialize:
+    """2-process jax.distributed smoke run (VERDICT r2 item 8): the
+    multi-host claim in parallel/sharding.py must be executed code."""
+
+    @pytest.mark.slow
+    def test_two_process_psum(self, tmp_path):
+        import socket
+        import subprocess
+        import sys
+        with socket.socket() as s:
+            s.bind(('127.0.0.1', 0))
+            port = s.getsockname()[1]
+        worker = tmp_path / 'worker.py'
+        worker.write_text(
+            "import os, sys\n"
+            "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+            "os.environ['XLA_FLAGS'] = "
+            "'--xla_force_host_platform_device_count=2'\n"
+            "import jax, jax.numpy as jnp\n"
+            "pid = int(sys.argv[1]); port = sys.argv[2]\n"
+            "jax.distributed.initialize(f'127.0.0.1:{port}',"
+            " num_processes=2, process_id=pid)\n"
+            "assert jax.device_count() == 4, jax.device_count()\n"
+            "assert jax.local_device_count() == 2\n"
+            "from prob_mbrl_tpu import parallel\n"
+            "mesh = parallel.make_mesh()  # all 4 global devices\n"
+            "x = jnp.arange(4.0)\n"
+            "y = jax.jit(lambda v: jnp.sum(v * v),\n"
+            "            in_shardings=parallel.particle_sharding(mesh),\n"
+            "            out_shardings=None)(x)\n"
+            "assert float(y) == 14.0, float(y)\n"
+            "print(f'proc {pid} OK', flush=True)\n"
+            "jax.distributed.shutdown()\n")
+        env = dict(os.environ)
+        env.pop('PALLAS_AXON_POOL_IPS', None)
+        env.pop('PALLAS_AXON_REMOTE_COMPILE', None)
+        env['JAX_PLATFORMS'] = 'cpu'
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env['PYTHONPATH'] = repo + os.pathsep + env.get('PYTHONPATH', '')
+        procs = [subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            for i in range(2)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+            assert p.returncode == 0, f'worker failed:\n{out[-2000:]}'
+        assert 'proc 0 OK' in outs[0] and 'proc 1 OK' in outs[1]
