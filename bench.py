@@ -76,7 +76,7 @@ def build(n_particles=100, steps=15, hidden=(200, 200), D=5, U=1,
 
 def measure(n_particles=100, mm_method='cholesky', dtype=None, steps=15,
             iters=200, reps=5, hidden=(200, 200), profile_dir=None,
-            x0_pool_rows=None):
+            x0_pool_rows=None, unroll=None):
     """Time the jitted MC-PILCO optimizer.
 
     Returns (rates, flops_per_launch): ``rates`` is the list of
@@ -93,7 +93,8 @@ def measure(n_particles=100, mm_method='cholesky', dtype=None, steps=15,
     mm = mm_method != 'none'
     cfg = MCPILCOConfig(n_particles=n_particles, steps=steps,
                         mm_states=mm, mm_rewards=mm,
-                        mm_method=(mm_method if mm else 'cholesky'))
+                        mm_method=(mm_method if mm else 'cholesky'),
+                        rollout_unroll=unroll)
     optimizer = optax.adam(1e-3)
     opt = make_mc_pilco_fn(dyn, pol, cfg, optimizer)
     opt_state = optimizer.init(pol_params)
@@ -184,6 +185,8 @@ def main():
                     help='measure the whole BASELINE.md table')
     ap.add_argument('--profile', default=None, metavar='DIR',
                     help='capture a jax.profiler trace of one launch')
+    ap.add_argument("--unroll", type=int, default=None,
+                    help='rollout time-scan unroll factor')
     args = ap.parse_args()
 
     if args.sweep:
@@ -199,7 +202,8 @@ def main():
     x0_rows = 100 if args.particles == 100 else None  # pinned protocol
     rates, fl = measure(args.particles, args.mm_method, args.dtype,
                         iters=args.iters, reps=args.reps,
-                        profile_dir=args.profile, x0_pool_rows=x0_rows)
+                        profile_dir=args.profile, x0_pool_rows=x0_rows,
+                        unroll=args.unroll)
     emit('mc_pilco_mm_particle_steps_per_s', rates, args.mm_method, fl,
          args.iters, args.particles)
 

@@ -172,19 +172,28 @@ def run(args, mm_states=False, mm_rewards=False, use_value=False,
 
     value_spec = value_stats = value_update = value_state = None
     if use_value:
-        v_density = models.DiagGaussianDensity(1)
-        v_mlp = models.MLPSpec(D, v_density.n_inputs, (64, 64),
-                               dropout=models.cdropout(0.1))
+        # reference critic config (`deep_pilco_no_mm_with_value.py:269-278,
+        # 299`): plain-output [val_shape] CDropout MLP — NO density head, so
+        # the TD(H) update is the MSE branch (`:38-43`) — trained at val_lr;
+        # --val_density switches to a diag-Gaussian head + NLL critic
+        v_density = (models.DiagGaussianDensity(1) if args.val_density
+                     else None)
+        v_mlp = models.MLPSpec(
+            D, v_density.n_inputs if v_density else 1, tuple(args.val_shape),
+            dropout=(models.cdropout(args.val_drop_rate)
+                     if args.val_drop_rate > 0 else None))
         value_spec = models.Regressor(mlp=v_mlp, output_density=v_density)
         key, kv = jax.random.split(key)
         value_params = value_spec.init(kv)
         value_stats = value_spec.init_stats()
-        v_opt = optax.adam(1e-3)
+        v_opt = optax.adam(args.val_lr)
         # critic refits inside the policy-opt scan on EVERY iteration, the
         # reference's on_rollout cadence (`deep_pilco_no_mm_with_value.py:
         # 380-400`); the bootstrap uses the live critic.
         value_update = make_value_update_fn(value_spec, v_opt, args.pred_H,
-                                            discount=discount)
+                                            discount=discount,
+                                            use_density=args.val_density,
+                                            polyak=args.val_polyak)
         value_state = dict(params=value_params, target=value_params,
                            opt_state=v_opt.init(value_params))
 

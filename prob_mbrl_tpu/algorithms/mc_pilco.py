@@ -110,6 +110,13 @@ class MCPILCOConfig:
     init_state_noise: float = 0.0
     resampling_period: int = 499
     with_priorities: bool = False
+    # lax.scan unroll factor for the 15-step rollout inside the optimizer
+    # scan. The horizon is short and static, so unrolling lets XLA fuse
+    # across consecutive steps' small VPU ops (the MM chain especially) at
+    # the cost of a larger program; measured A/B in BASELINE.md (cholesky-MM
+    # headline: 2.1M -> 2.9M particle-steps/s at full unroll). None = auto:
+    # fully unroll horizons up to 16 steps, keep the scan beyond that.
+    rollout_unroll: Optional[int] = None
 
 
 _FN_CACHE = {}
@@ -264,7 +271,9 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
             mm_method=cfg.mm_method,
             resample_state_noise=not cfg.pegasus,
             resample_action_noise=not cfg.pegasus,
-            key=step_key, action_eps=action_eps)
+            key=step_key, action_eps=action_eps,
+            unroll=(cfg.rollout_unroll if cfg.rollout_unroll is not None
+                    else (cfg.steps if cfg.steps <= 16 else 1)))
         states, actions, rewards = traj[:3]
         sg = jax.lax.stop_gradient
 
@@ -274,6 +283,14 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         v_loss = jnp.zeros(())
         if value_update is not None:
             v_params, v_tgt, v_opt = value_carry
+            # fresh critic masks per update: the reference holds the
+            # critic's masks fixed across the whole optimization
+            # (resample=False), but a round-3 A/B (runs/value_diag*) found
+            # per-iteration mask resampling the MOST stable choice in this
+            # framework — frozen masks and/or no target network collapse
+            # the variant at full opt-iteration counts. Documented
+            # divergence; pass noise=value_noise for the frozen-mask
+            # semantics.
             k_v = jax.random.fold_in(step_key, 0x7A1)
             v_params, v_tgt, v_opt, v_loss = value_update(
                 v_params, v_tgt, v_opt, value_stats, sg(states), sg(rewards),

@@ -63,13 +63,21 @@ def make_value_update_fn(V, optimizer, H, discount=None, reg_weight=1e-4,
         return loss + reg_weight * V.regularization_loss(params)
 
     @jax.jit
-    def update(params, target_params, opt_state, stats, states, rewards, key):
+    def update(params, target_params, opt_state, stats, states, rewards,
+               key=None, noise=None):
         returns = jnp.sum(rewards[:H] * w_t[:, None, None], 0)
         returns = jax.lax.stop_gradient(returns)
         s0 = jax.lax.stop_gradient(states[0])
         sH = jax.lax.stop_gradient(states[H])
         # seed-matched masks for V0 and VH: one noise pytree, used twice
-        noise = V.sample_noise(key, (s0.shape[0],))
+        # (`deep_pilco_no_mm_with_value.py:36-38`). Callers in a PEGASUS
+        # loop pass the per-epoch noise pytree directly (the reference
+        # evaluates the critic with resample=False, i.e. masks stay FIXED
+        # across the whole policy optimization — per-iteration fresh masks
+        # inject bootstrap-gradient noise that measurably destabilizes the
+        # variant, see RESULTS.md round 3).
+        if noise is None:
+            noise = V.sample_noise(key, (s0.shape[0],))
         loss, grads = jax.value_and_grad(loss_fn)(
             params, target_params, stats, s0, sH, returns, noise)
         updates, opt_state = optimizer.update(grads, opt_state, params)

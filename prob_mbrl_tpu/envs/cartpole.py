@@ -1,6 +1,8 @@
 """Cartpole swing-up (reference: `prob_mbrl/envs/cartpole/`).
 
-State [x, x', theta, theta'], action [F] in [-10, 10], theta=0 pointing up.
+State [x, x', theta, theta'], action [F] in [-10, 10]; theta=0 is the pole
+HANGING DOWN (reset state [0,0,0,0]; the reward targets the upright tip at
+(0, +l), i.e. theta=pi — `cartpole/env.py:41-66`).
 Closed-form accelerations (`cartpole/model.py:114-139`); saturating
 exp-of-quadratic pole-tip reward with Q=16*I2, R=1e-4*I1
 (`cartpole/env.py:27-86`); measurement noise 0.01 (`env.py:124`);

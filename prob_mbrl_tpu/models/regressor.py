@@ -187,18 +187,16 @@ class DynamicsModel:
         return self.regressor.init(key, dtype)
 
     def init_stats(self, dtype=jnp.float32):
-        stats = self.regressor.init_stats(dtype)
-        stats['maxR'] = jnp.ones((1, 1), dtype)
-        stats['minR'] = jnp.ones((1, 1), dtype)
-        return stats
+        return self.regressor.init_stats(dtype)
 
     def fit_stats(self, X, Y):
-        """Stats from the supervised (state-action -> delta[+reward]) dataset."""
-        stats = self.regressor.fit_stats(X, Y)
-        R = Y[..., -1:]
-        stats['maxR'] = jnp.max(R).reshape(1, 1)
-        stats['minR'] = jnp.min(R).reshape(1, 1)
-        return stats
+        """Stats from the supervised (state-action -> delta[+reward]) dataset.
+
+        The reference additionally tracks the observed reward range in
+        ``maxR``/``minR`` buffers (`models/core.py:254-263`) but never reads
+        them anywhere — write-only state, deliberately not carried here.
+        """
+        return self.regressor.fit_stats(X, Y)
 
     def sample_noise(self, key, batch_shape, dtype=jnp.float32):
         return self.regressor.sample_noise(key, batch_shape, dtype)

@@ -30,38 +30,34 @@ def softplus_upper_clip(x, upper):
 
 
 def small_cholesky(S):
-    """Unrolled Cholesky-Banachiewicz for small D, batched over leading dims.
+    """Unrolled right-looking Cholesky for small D, batched over leading dims.
 
     ``jnp.linalg.cholesky`` lowers to a blocked factorization kernel that is
     enormously over-provisioned for the DxD particle-covariance matrices of
-    the MM hot loop (D = a state dim, 1-16). Unrolling over columns emits a
-    handful of elementwise/reduce ops that XLA fuses into the surrounding
-    rollout step — no kernel launch, VPU-only. Differentiable through the
-    plain jnp ops; NaN on non-PD inputs (sqrt of negative), matching the
-    failure semantics `safe_cholesky` relies on.
+    the MM hot loop (D = a state dim, 1-16). This unrolls the outer-product
+    (submatrix-downdate) form: per column one sqrt, one divide, one masked
+    rank-1 update — all [D]- or [D,D]-shaped elementwise ops that XLA fuses
+    into the surrounding rollout step. (Round 3: this replaced a
+    Cholesky-Banachiewicz unrolling whose per-column stack/einsum chain was
+    ~50% of ALL device time at the headline benchmark per the committed
+    profile — the gather-heavy loop fusions it lowered to cost ~20us of the
+    ~38us busy time per rollout step.) Differentiable through the plain jnp
+    ops; NaN on non-PD inputs (sqrt of negative), matching the failure
+    semantics `safe_cholesky` relies on.
     """
     D = S.shape[-1]
     if D == 1:
         return jnp.sqrt(S)
+    A = S
     cols = []
     for j in range(D):
-        if j:
-            Lj = jnp.stack([c[..., j] for c in cols], -1)  # row j of L, [..., j]
-            r = S[..., j, j] - jnp.sum(Lj * Lj, -1)
-        else:
-            Lj = None
-            r = S[..., j, j]
-        ljj = jnp.sqrt(r)
-        below = S[..., :, j]
-        if j:
-            # subtract L[..., :, :j] @ L[..., j, :j]
-            Lprev = jnp.stack(cols, -1)  # [..., D, j]
-            below = below - jnp.einsum('...ik,...k->...i', Lprev, Lj)
-        col = below / ljj[..., None]
-        # zero out the strictly-upper part of this column
+        # mask keeps only rows >= j: the column below (and incl.) the pivot
         mask = (np.arange(D) >= j).astype(S.dtype)
-        col = jnp.where(np.arange(D) == j, ljj[..., None], col) * mask
+        pivot = jnp.sqrt(A[..., j, j])
+        col = (A[..., :, j] / pivot[..., None]) * mask
         cols.append(col)
+        if j + 1 < D:
+            A = A - col[..., :, None] * col[..., None, :]
     return jnp.stack(cols, -1)
 
 
@@ -106,14 +102,20 @@ def safe_cholesky(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
                * (factor ** np.arange(max_tries))).astype(S.dtype)
 
     chol = small_cholesky if D <= 16 else jnp.linalg.cholesky
+    tol = 1e-5 * jnp.sqrt(jnp.max(scale))
 
-    # all attempts in one batched factorization: [tries, ..., D, D]
+    # All attempts in one batched factorization: [tries, ..., D, D]. The
+    # batch rides the leading dim of elementwise/reduce ops, so this costs
+    # barely more than ONE factorization graph — a round-3 experiment that
+    # hid the escalation behind lax.cond measured SLOWER (1.25M vs 1.60M
+    # particle-steps/s at the headline config): a conditional inside the
+    # MC-PILCO scan body breaks fusion and adds sync overhead that exceeds
+    # the entire escalation cost. Keep the branch-free select.
     jit_b = jitters.reshape((max_tries,) + (1,) * S.ndim)
     Ls = chol(S_ng + (jit_b * scale) * eye)
     diags = jnp.diagonal(Ls, axis1=-2, axis2=-1)
     finite = jnp.isfinite(Ls).all(axis=tuple(range(1, Ls.ndim)))
     # pivots bounded away from zero => bounded backward pass
-    tol = 1e-5 * jnp.sqrt(jnp.max(scale))
     conditioned = (diags > tol).all(axis=tuple(range(1, diags.ndim)))
     ok = finite & conditioned
     first_ok = jnp.argmax(ok)

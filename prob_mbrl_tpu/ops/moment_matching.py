@@ -25,7 +25,22 @@ def particle_moments(samples):
     return m, S
 
 
-def mm_resample(samples, z, jitter=1e-12):
+def standardize_noise(z):
+    """Standardize fixed noise over the particle axis (-2).
+
+    Unbiased std (ddof=1), matching torch.Tensor.std (`rollout.py:27`).
+    Standardization commutes with cyclic rolls of the particle axis, so
+    per-epoch noise banks can be standardized ONCE outside the rollout scan
+    instead of inside every MM call (ungrouped MM only: grouped MM
+    standardizes per group, and the per-step roll moves particles across
+    group boundaries).
+    """
+    return (z - jnp.mean(z, -2, keepdims=True)) / jnp.std(z, -2,
+                                                          keepdims=True,
+                                                          ddof=1)
+
+
+def mm_resample(samples, z, jitter=1e-12, standardized=False):
     """Moment-match and resample with standardized fixed noise.
 
     Matches `rollout.py:20-29`: z is standardized over the particle axis
@@ -35,15 +50,16 @@ def mm_resample(samples, z, jitter=1e-12):
       samples: [..., M, D] particles.
       z: [..., M, D] fixed noise (PEGASUS).
       jitter: initial diagonal jitter for the Cholesky.
+      standardized: set when ``z`` was already passed through
+        :func:`standardize_noise` (hot loops hoist it out of the scan).
 
     Returns:
       [..., M, D] resampled particles, differentiable wrt samples via (m, L).
     """
     m, S = particle_moments(samples)
     L = safe_cholesky(S, initial_jitter=jitter)
-    # unbiased std (ddof=1), matching torch.Tensor.std (`rollout.py:27`)
-    z = (z - jnp.mean(z, -2, keepdims=True)) / jnp.std(z, -2, keepdims=True,
-                                                       ddof=1)
+    if not standardized:
+        z = standardize_noise(z)
     z = jax.lax.stop_gradient(z)
     return m + jnp.matmul(z, jnp.swapaxes(L, -1, -2))
 

@@ -48,15 +48,20 @@ def get_z_rnd(z, i, batch):
 
 
 def _mm_step(x, z, mm_groups, infer_noise_variables, jitter=1e-12,
-             mm_method='cholesky'):
+             mm_method='cholesky', standardized=False):
     if mm_method == 'mix' and not infer_noise_variables:
         if mm_groups is not None:
             return mm.grouped_mix(x, z, mm_groups)
         return mm.mm_resample_mix(x, z)
-    fn = (mm.mm_resample_infer_ns if infer_noise_variables
-          else mm.mm_resample)
+    if infer_noise_variables:
+        fn = mm.mm_resample_infer_ns
+    elif standardized:
+        fn = partial(mm.mm_resample, standardized=True)
+    else:
+        fn = mm.mm_resample
     if mm_groups is not None:
-        return mm.grouped(fn, x, z, mm_groups, jitter)
+        return mm.grouped(mm.mm_resample_infer_ns if infer_noise_variables
+                          else mm.mm_resample, x, z, mm_groups, jitter)
     return fn(x, z, jitter)
 
 
@@ -103,6 +108,12 @@ def _mm_rewards_batched(rewards, z_rr, steps, B, mm_groups,
         return jax.vmap(lambda r, t: _mm_mix(r, z_rr, mm_groups, shift=t))(
             rewards, np.arange(steps))
 
+    if mm_groups is None and not infer_noise_variables:
+        # standardization commutes with the cyclic roll: do it once on the
+        # bank instead of per [T] slice (see ops.standardize_noise)
+        z_rr = mm.standardize_noise(z_rr)
+        tb = (np.arange(steps)[:, None] + np.arange(B)[None, :]) % B
+        return mm.mm_resample(rewards, z_rr[tb], 1e-12, standardized=True)
     tb = (np.arange(steps)[:, None] + np.arange(B)[None, :]) % B
     z = z_rr[tb]                                               # [T, B, zD]
     fn = (mm.mm_resample_infer_ns if infer_noise_variables
@@ -198,11 +209,16 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
         # is ever materialized, not a [T, M, M] stack.
         if mm_states and _mix_is_per_step(z_mm, steps, mm_groups):
             xs['z_mm'] = z_mm
-    else:
-        # the cholesky z-buffers are cyclically pre-rolled into per-step xs
-        if mm_states:
-            tb = (np.arange(steps)[:, None] + np.arange(B)[None, :]) % B
-            xs['z_mm'] = z_mm[tb]
+    z_standardized = False
+    if not use_mix and mm_states:
+        # the cholesky z-buffers are cyclically pre-rolled into per-step xs;
+        # ungrouped noise is standardized ONCE here (commutes with the roll)
+        # instead of inside each of the T in-scan MM calls
+        if mm_groups is None and not infer_noise_variables:
+            z_mm = mm.standardize_noise(z_mm)
+            z_standardized = True
+        tb = (np.arange(steps)[:, None] + np.arange(B)[None, :]) % B
+        xs['z_mm'] = z_mm[tb]
 
     # The reward pipeline never feeds back into the state recursion, so it is
     # hoisted OUT of the sequential time scan entirely: the scan carries only
@@ -249,7 +265,8 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
             else:
                 next_states = _mm_step(next_states, step_xs['z_mm'],
                                        mm_groups, infer_noise_variables,
-                                       mm_method=mm_method)
+                                       mm_method=mm_method,
+                                       standardized=z_standardized)
 
         out = {'states': states, 'actions': actions}
         if known_reward:
