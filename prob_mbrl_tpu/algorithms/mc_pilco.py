@@ -96,10 +96,13 @@ class MCPILCOConfig:
     mm_groups: Optional[int] = None
     # 'cholesky' = reference-exact m + z @ chol(S)^T resampling to a Gaussian
     # (`rollout.py:20-29`) — the default, matching ``utils.rollout``;
-    # 'mix' = TPU-native orthogonal particle mixing (exact empirical moments,
-    # one MXU matmul per MM step, ~4x faster) — opt-in fast path; it does NOT
-    # re-Gaussianize the particle cloud (only CLT-asymptotically), see the
-    # A/B learning-curve validation in RESULTS.md.
+    # 'mix' = EXPERIMENTAL orthogonal particle mixing (exact empirical
+    # moments, one MXU matmul per MM step). It does NOT re-Gaussianize the
+    # particle cloud (only CLT-asymptotically): heavy-tailed clouds from a
+    # poor dynamics model persist across the horizon and can kill learning
+    # on some seeds (reproduced full-scale and at compressed scale —
+    # RESULTS.md round 3). Keep 'cholesky' unless you know your clouds stay
+    # well-behaved.
     mm_method: str = 'cholesky'
     infer_noise_variables: bool = False
     maximize: bool = True

@@ -86,10 +86,12 @@ def get_argument_parser(title=''):
     parser.add_argument('--mm_method', type=str, default='cholesky',
                         choices=['cholesky', 'mix'],
                         help="moment-matching kernel: 'cholesky' = "
-                             "reference-exact Gaussian resampling, 'mix' = "
-                             'TPU-native orthogonal particle mixing '
-                             '(faster; exact moments, asymptotically '
-                             'Gaussian)')
+                             "reference-exact Gaussian resampling (the "
+                             "default and the headline-benchmark kernel); "
+                             "'mix' = EXPERIMENTAL orthogonal particle "
+                             'mixing — exact moments but no per-step '
+                             're-Gaussianization; known to collapse '
+                             'learning on some seeds (RESULTS.md)')
     return parser
 
 
