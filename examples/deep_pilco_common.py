@@ -216,10 +216,18 @@ def run(args, mm_states=False, mm_rewards=False, use_value=False,
 
     host_policy = make_host_policy(pol, args.expl_noise, args.seed,
                                    minU, maxU, stochastic=True)
-    if args.render and not hasattr(env, 'render_frame'):
-        print(f'[{experiment_name}] --render: analytic TPU envs have no '
-              'renderer; flag ignored (use plot_level>0 for trajectory '
-              'figures)', flush=True)
+    render_cb = None
+    if args.render:
+        if getattr(type(env), '_scene_fn', None) is not None:
+            # live matplotlib viewer with ghost trails (envs/rendering.py),
+            # stepped through apply_controller's per-step callback — the
+            # reference's render_fn wiring (`deep_pilco_mm.py:182`)
+            def render_cb(*_):
+                env.render()
+        else:
+            print(f'[{experiment_name}] --render: no renderer for '
+                  f'{type(env).__name__}; flag ignored (use plot_level>0 '
+                  'for trajectory figures)', flush=True)
 
     # initial random episodes (`deep_pilco_mm.py:184-209`; the reference
     # default n_initial_epi=0 collects none and relies on the episode
@@ -243,7 +251,8 @@ def run(args, mm_states=False, mm_rewards=False, use_value=False,
         # ---- collect real experience with the current stochastic policy
         # (`deep_pilco_mm.py:199-210`) ----------------------------------
         ret = apply_controller(env, host_policy(pol_params), args.control_H,
-                               stop_when_done=args.stop_when_done)
+                               stop_when_done=args.stop_when_done,
+                               callback=render_cb)
         exp.append_episode(*ret, policy_params=jax.tree_util.tree_map(
             np.asarray, pol_params))
         ep_return = float(np.sum([np.sum(r) for r in ret[2]]))

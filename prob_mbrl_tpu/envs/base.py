@@ -184,12 +184,36 @@ class GymEnv:
             obs = to_complex(obs, self.angle_dims)
         return obs
 
+    # subclasses set to a callable ``(model, state) -> scene dict`` (see
+    # envs/rendering.py) to enable render(); viewer bounds via _viewer_kwargs
+    _scene_fn = None
+
+    def _viewer_kwargs(self):
+        return {}
+
     def render(self, mode="human", **kwargs):
-        raise NotImplementedError(
-            'rendering is not implemented for the TPU-native envs')
+        """Matplotlib render (counterpart of the reference's pyglet viewers,
+        `prob_mbrl/envs/cartpole/env.py:174-248`, incl. the ghost trail).
+
+        ``mode='human'``: update a live figure (no-op return) when the
+        backend is interactive, else fall through to an RGB array.
+        ``mode='rgb_array'``: return an [H, W, 3] uint8 frame.
+        """
+        if self._scene_fn is None:
+            raise NotImplementedError(
+                f'rendering is not implemented for {type(self).__name__}')
+        if self.state is None:
+            raise RuntimeError('render() before reset()')
+        if self.viewer is None:
+            from .rendering import MplViewer
+            self.viewer = MplViewer(**self._viewer_kwargs())
+        return self.viewer.render(type(self)._scene_fn(self.model,
+                                                       self.state), mode)
 
     def close(self):
-        pass
+        if self.viewer is not None:
+            self.viewer.close()
+            self.viewer = None
 
     # -- framework API ------------------------------------------------------
     @property

@@ -36,6 +36,12 @@ class CartAcrobotModel(DoubleCartpoleModel):
 
 
 class CartAcrobot(GymEnv):
+    from .rendering import double_cartpole_scene as _scene_fn
+    _scene_fn = staticmethod(_scene_fn)
+
+    def _viewer_kwargs(self):
+        return dict(xlim=(-3.5, 3.5), ylim=(-1.5, 1.5))
+
     def __init__(self, model=None, reward_func=None, **kwargs):
         model = model or CartAcrobotModel()
         reward_func = (reward_func if callable(reward_func)

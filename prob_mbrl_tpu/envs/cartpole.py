@@ -58,6 +58,12 @@ def cartpole_reward(pole_length=0.5):
 
 
 class Cartpole(GymEnv):
+    from .rendering import cartpole_scene as _scene_fn
+    _scene_fn = staticmethod(_scene_fn)
+
+    def _viewer_kwargs(self):
+        return dict(xlim=(-3.5, 3.5), ylim=(-1.0, 1.0))
+
     def __init__(self, model=None, reward_func=None, **kwargs):
         model = model or CartpoleModel()
         reward_func = (reward_func if callable(reward_func)

@@ -78,6 +78,12 @@ def double_cartpole_reward(pole1_length=0.6, pole2_length=0.6,
 
 
 class DoubleCartpole(GymEnv):
+    from .rendering import double_cartpole_scene as _scene_fn
+    _scene_fn = staticmethod(_scene_fn)
+
+    def _viewer_kwargs(self):
+        return dict(xlim=(-3.5, 3.5), ylim=(-1.5, 1.5))
+
     def __init__(self, model=None, reward_func=None, **kwargs):
         model = model or DoubleCartpoleModel()
         reward_func = (reward_func if callable(reward_func)

@@ -307,12 +307,35 @@ class LunarLander:
         return state, reward, done, {}
 
     def render(self, mode='human'):
-        raise NotImplementedError(
-            'prob_mbrl_tpu has no renderer; the reference viewer is at '
-            '/root/reference/prob_mbrl/envs/lunar_lander.py:359-407')
+        """Matplotlib render of the Box2D scene (counterpart of the
+        reference's pyglet viewer, `lunar_lander.py:359-407`): terrain
+        edges, the lander hull and both legs drawn from the live body
+        transforms; helipad flags as markers."""
+        if self.moon is None:
+            raise RuntimeError('render() before reset()')
+        if getattr(self, 'viewer', None) is None:
+            from .rendering import MplViewer
+            W, H = VIEWPORT_W / SCALE, VIEWPORT_H / SCALE
+            self.viewer = MplViewer(xlim=(0, W), ylim=(0, H), trail=0)
+        lines = []
+        for fixture in self.moon.fixtures:
+            v = fixture.shape.vertices
+            if len(v) == 2:
+                lines.append((v[0][0], v[0][1], v[1][0], v[1][1]))
+        polys = []
+        for body in [self.lander] + self.legs:
+            for fixture in body.fixtures:
+                polys.append([tuple(body.transform * p)
+                              for p in fixture.shape.vertices])
+        flags = [(self.helipad_x1, self.helipad_y, 0.15),
+                 (self.helipad_x2, self.helipad_y, 0.15)]
+        return self.viewer.render(
+            dict(lines=lines, polys=polys, circles=flags), mode)
 
     def close(self):
-        pass
+        if getattr(self, 'viewer', None) is not None:
+            self.viewer.close()
+            self.viewer = None
 
 
 class LunarLanderContinuous(LunarLander):

@@ -44,6 +44,12 @@ def pendulum_reward(pole_length=1.0):
 
 
 class Pendulum(GymEnv):
+    from .rendering import pendulum_scene as _scene_fn
+    _scene_fn = staticmethod(_scene_fn)
+
+    def _viewer_kwargs(self):
+        return dict(xlim=(-1.5, 1.5), ylim=(-1.5, 1.5))
+
     def __init__(self, model=None, reward_func=None, **kwargs):
         model = model or PendulumModel()
         reward_func = (reward_func if callable(reward_func)

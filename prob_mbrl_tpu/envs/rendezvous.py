@@ -51,6 +51,12 @@ class RendezvousReward:
 
 
 class Rendezvous(GymEnv):
+    from .rendering import rendezvous_scene as _scene_fn
+    _scene_fn = staticmethod(_scene_fn)
+
+    def _viewer_kwargs(self):
+        return dict(xlim=(-14.0, 14.0), ylim=(-14.0, 14.0))
+
     def __init__(self, model=None, reward_func=None, **kwargs):
         model = model or RendezvousModel()
         reward_func = (reward_func if callable(reward_func)

@@ -246,3 +246,44 @@ def test_lander_gym_api_and_registry():
     us = jnp.zeros((4, 2))
     nxt = jenv.batch_step(xs, us)
     assert nxt.shape == (4, 8)
+
+
+class TestRendering:
+    """render() parity with the reference's pyglet viewers (matplotlib,
+    headless-safe rgb_array mode; `prob_mbrl/envs/cartpole/env.py:174-248`)."""
+
+    @pytest.mark.parametrize('name', ['Cartpole', 'Pendulum',
+                                      'DoubleCartpole', 'CartAcrobot',
+                                      'Rendezvous'])
+    def test_rgb_array_frames(self, name):
+        import matplotlib
+        matplotlib.use('Agg')
+        env = envs.make(name)
+        env.seed(0)
+        env.reset()
+        frames = []
+        for _ in range(3):
+            env.step(np.zeros(env.action_size, np.float32))
+            frames.append(env.render(mode='rgb_array'))
+        env.close()
+        f = frames[-1]
+        assert f.ndim == 3 and f.shape[-1] == 3 and f.dtype == np.uint8
+        # the scene actually draws something (not a blank canvas)
+        assert (f < 250).any()
+
+    def test_render_before_reset_raises(self):
+        env = envs.make('Cartpole')
+        with pytest.raises(RuntimeError):
+            env.render(mode='rgb_array')
+
+    def test_lander_render(self):
+        import matplotlib
+        matplotlib.use('Agg')
+        env = envs.make('LunarLander')
+        env.seed(0)
+        env.reset()
+        env.step(np.zeros(env.action_size, np.float32))
+        f = env.render(mode='rgb_array')
+        env.close()
+        assert f.ndim == 3 and f.shape[-1] == 3
+        assert (f < 250).any()
