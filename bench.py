@@ -116,18 +116,17 @@ def measure(n_particles=100, mm_method='cholesky', dtype=None, steps=15,
                      jax.random.PRNGKey(2), 0, iters)
     np.asarray(m['loss'])
 
-    flops = None
-    try:
-        # make_mc_pilco_fn returns a jitted fn (static iters) -> lower directly
-        lowered = opt.lower(pol_params, opt_state, dyn_params, dyn_stats,
-                            x0_pool, jax.random.PRNGKey(2), 0, iters)
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        if cost and 'flops' in cost:
-            flops = float(cost['flops'])
-    except Exception:
-        pass
+    # Analytic matmul FLOPs per particle-step (XLA's cost_analysis via the
+    # remote-TPU plugin returns implausible numbers — 119-2253 FLOPs/ps
+    # depending on unroll — so the MFU estimate uses the closed form):
+    # fwd = 2 * MACs through both MLPs; backward ~= 2x fwd (dgrad + wgrad).
+    D, U = 5, 1
+    dims_dyn = (D + U,) + tuple(hidden) + (2 * D,)
+    dims_pol = (D,) + tuple(hidden) + (2 * U,)
+    macs = sum(a * b for a, b in zip(dims_dyn[:-1], dims_dyn[1:]))
+    macs += sum(a * b for a, b in zip(dims_pol[:-1], dims_pol[1:]))
+    flops_per_ps = 3 * 2 * macs
+    flops = flops_per_ps * iters * n_particles * steps
 
     rates = []
     for r in range(reps):
