@@ -90,6 +90,26 @@ def test_deep_pilco_sharded_virtual_mesh(tmp_path):
 
 
 @pytest.mark.slow
+def test_deep_pilco_mixture_dynamics(tmp_path):
+    """--dyn_components 2: the GaussianMixtureDensity dynamics head through
+    the full driver (`deep_pilco_mm.py:116-127` mixture branch)."""
+    stdout = run_example('deep_pilco_no_mm.py', '-o', str(tmp_path),
+                         *TINY_PILCO, '--dyn_components', '2')
+    assert 'episode 0' in stdout
+
+
+@pytest.mark.slow
+def test_deep_pilco_learned_reward_prioritized(tmp_path):
+    """--learn_reward + --prioritized_replay through the full driver: the
+    learned-reward head (`core.py:286-303`) and the SumTree x0-priority
+    path (`mc_pilco.py:156-188`) compose end-to-end."""
+    stdout = run_example('deep_pilco_no_mm.py', '-o', str(tmp_path),
+                         *TINY_PILCO, '--learn_reward',
+                         '--prioritized_replay')
+    assert 'episode 0' in stdout
+
+
+@pytest.mark.slow
 def test_deep_pilco_mm(tmp_path):
     stdout = run_example('deep_pilco_mm.py', '-o', str(tmp_path),
                          *TINY_PILCO)
