@@ -89,6 +89,27 @@ def test_deep_pilco_sharded_virtual_mesh(tmp_path):
     assert 'episode 0' in out.stdout
 
 
+def test_deep_pilco_resume_from_checkpoint(tmp_path):
+    """--load_from resumes params + experience from a previous run's folder
+    (the reference's resume flow, `deep_pilco_mm.py:60-62` +
+    `utils/core.py:200-226`)."""
+    stdout = run_example('deep_pilco_no_mm.py', '-o', str(tmp_path),
+                         *TINY_PILCO)
+    folder = results_folder_from(stdout)
+    stdout2 = run_example('deep_pilco_no_mm.py', '-o', str(tmp_path),
+                          *TINY_PILCO, '--load_from', folder)
+    folder2 = results_folder_from(stdout2)
+    assert folder2 != folder
+    # the resumed run starts from the first run's experience: its saved
+    # dataset holds both runs' episodes (first run: 1 initial + 1 collected)
+    sys.path.insert(0, REPO)
+    from prob_mbrl_tpu.utils import ExperienceDataset
+    exp1, exp2 = ExperienceDataset(), ExperienceDataset()
+    exp1.load(os.path.join(folder, 'experience.pkl'))
+    exp2.load(os.path.join(folder2, 'experience.pkl'))
+    assert exp2.n_episodes() > exp1.n_episodes()
+
+
 @pytest.mark.slow
 def test_deep_pilco_mixture_dynamics(tmp_path):
     """--dyn_components 2: the GaussianMixtureDensity dynamics head through
