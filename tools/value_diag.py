@@ -35,12 +35,13 @@ def compressed_args(name, extra=()):
 
 def main():
     for name, use_value, extra in (
-            ('fresh_polyak_full_iters', True, ('--val_polyak', '0.005',)),
-            ('fresh_notgt_full_iters', True, ()),
-            ('fresh_slowcritic_full_iters', True, ('--val_polyak', '0.005',
-                                                   '--val_lr', '1e-5')),
-            ('fresh_density_full_iters', True, ('--val_polyak', '0.005',
-                                                '--val_density',))):
+            ('r2cfg_full_iters', True, ('--val_polyak', '0.005',
+                                        '--val_density',
+                                        '--val_shape', '64,64',
+                                        '--val_lr', '1e-3')),
+            ('r2cfg_mse_full_iters', True, ('--val_polyak', '0.005',
+                                            '--val_shape', '64,64',
+                                            '--val_lr', '1e-4'))):
         args = compressed_args(name, extra)
         if name.endswith('full_iters'):
             args.pol_opt_iters = 1000
