@@ -54,10 +54,15 @@ def get_argument_parser(title=''):
     parser.add_argument('--ps_iters', type=int, default=100)
     parser.add_argument('--pol_shape', type=load_csv, default=[200, 200])
 
-    # critic flags (`deep_pilco_no_mm_with_value.py:160-163`)
-    parser.add_argument('--val_lr', type=float, default=1e-4)
+    # critic flags (`deep_pilco_no_mm_with_value.py:160-163`). Defaults are
+    # the best full-scale config found in the round-3 A/B sweep
+    # (RESULTS.md): small density-head critic at 1e-3. The reference's
+    # exact critic is `--val_shape 200,200 --val_lr 1e-4` without
+    # --val_density (plain-output MSE) — it collapses at the full
+    # 1000-iteration cadence in this framework.
+    parser.add_argument('--val_lr', type=float, default=1e-3)
     parser.add_argument('--val_drop_rate', type=float, default=0.1)
-    parser.add_argument('--val_shape', type=load_csv, default=[200, 200])
+    parser.add_argument('--val_shape', type=load_csv, default=[64, 64])
     parser.add_argument('--val_polyak', type=float, default=1.0,
                         help='critic target-network soft-update tau. The '
                              'reference driver passes NO target network '
@@ -65,11 +70,14 @@ def get_argument_parser(title=''):
                              'V_target=None -> VH under the live critic), '
                              'which tau=1.0 replicates; tau<1 enables a '
                              'lagging polyak target')
-    parser.add_argument('--val_density', action='store_true',
+    parser.add_argument('--val_density', action=argparse.BooleanOptionalAction,
+                        default=True,
                         help='critic with a diag-Gaussian head + NLL loss '
-                             'instead of the reference plain-output MSE '
-                             'critic (`deep_pilco_no_mm_with_value.py:'
-                             '269-278,38-43`)')
+                             '(default; best round-3 config). '
+                             '--no-val_density selects the reference '
+                             'plain-output MSE critic '
+                             '(`deep_pilco_no_mm_with_value.py:269-278,'
+                             '38-43`)')
 
     parser.add_argument('--plot_level', type=int, default=0)
     parser.add_argument('--render', action='store_true')
