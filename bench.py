@@ -76,12 +76,12 @@ def build(n_particles=100, steps=15, hidden=(200, 200), D=5, U=1,
 
 def measure(n_particles=100, mm_method='cholesky', dtype=None, steps=15,
             iters=200, reps=5, hidden=(200, 200), profile_dir=None,
-            x0_pool_rows=None, unroll=None):
+            x0_pool_rows=None, unroll=None, iter_unroll=1):
     """Time the jitted MC-PILCO optimizer.
 
     Returns (rates, flops_per_launch): ``rates`` is the list of
     particle-steps/s over ``reps`` independently timed launches,
-    ``flops_per_launch`` the XLA cost-analysis FLOP estimate (or None).
+    ``flops_per_launch`` an analytic matmul-FLOP estimate.
     """
     dyn, pol = build(n_particles, steps, hidden, compute_dtype=dtype)
     key = jax.random.PRNGKey(0)
@@ -94,7 +94,8 @@ def measure(n_particles=100, mm_method='cholesky', dtype=None, steps=15,
     cfg = MCPILCOConfig(n_particles=n_particles, steps=steps,
                         mm_states=mm, mm_rewards=mm,
                         mm_method=(mm_method if mm else 'cholesky'),
-                        rollout_unroll=unroll)
+                        rollout_unroll=unroll,
+                        iteration_unroll=iter_unroll)
     optimizer = optax.adam(1e-3)
     opt = make_mc_pilco_fn(dyn, pol, cfg, optimizer)
     opt_state = optimizer.init(pol_params)
@@ -186,6 +187,8 @@ def main():
                     help='capture a jax.profiler trace of one launch')
     ap.add_argument("--unroll", type=int, default=None,
                     help='rollout time-scan unroll factor')
+    ap.add_argument('--iter_unroll', type=int, default=1,
+                    help='optimizer-iteration scan unroll factor')
     args = ap.parse_args()
 
     if args.sweep:
@@ -202,7 +205,7 @@ def main():
     rates, fl = measure(args.particles, args.mm_method, args.dtype,
                         iters=args.iters, reps=args.reps,
                         profile_dir=args.profile, x0_pool_rows=x0_rows,
-                        unroll=args.unroll)
+                        unroll=args.unroll, iter_unroll=args.iter_unroll)
     emit('mc_pilco_mm_particle_steps_per_s', rates, args.mm_method, fl,
          args.iters, args.particles)
 

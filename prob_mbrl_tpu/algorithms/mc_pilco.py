@@ -120,6 +120,10 @@ class MCPILCOConfig:
     # headline: 2.1M -> 2.9M particle-steps/s at full unroll). None = auto:
     # fully unroll horizons up to 16 steps, keep the scan beyond that.
     rollout_unroll: Optional[int] = None
+    # unroll factor for the outer optimizer-iteration scan (sequential
+    # params dependence limits cross-iteration ILP; measured A/B in
+    # BASELINE.md before keeping the default at 1)
+    iteration_unroll: int = 1
 
 
 _FN_CACHE = {}
@@ -423,7 +427,7 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         (pol_params, opt_state, n_opt_steps, value_carry), metrics = \
             jax.lax.scan(step,
                          (pol_params, opt_state, n_opt_steps, value_carry0),
-                         np.arange(iters))
+                         np.arange(iters), unroll=cfg.iteration_unroll)
         if value_update is not None:
             return pol_params, opt_state, metrics, n_opt_steps, value_carry
         return pol_params, opt_state, metrics, n_opt_steps
