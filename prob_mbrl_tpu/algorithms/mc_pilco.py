@@ -124,6 +124,15 @@ class MCPILCOConfig:
     # params dependence limits cross-iteration ILP; measured A/B in
     # BASELINE.md before keeping the default at 1)
     iteration_unroll: int = 1
+    # critic dropout-mask schedule for the in-scan TD(H) refit:
+    # 'epoch' = the reference semantics — the critic update reuses the SAME
+    # per-epoch noise pytree as the terminal-bootstrap evaluation (the
+    # reference evaluates V with resample=False, so the cached masks set by
+    # value_func.resample() at PEGASUS epoch boundaries are shared between
+    # update_value_function and the policy-loss Vend,
+    # `deep_pilco_no_mm_with_value.py:24,39-40` + `mc_pilco.py:64-68,137`);
+    # 'iter' = fresh masks per update iteration (round-3 experiment).
+    val_mask_mode: str = 'epoch'
 
 
 _FN_CACHE = {}
@@ -290,18 +299,22 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         v_loss = jnp.zeros(())
         if value_update is not None:
             v_params, v_tgt, v_opt = value_carry
-            # fresh critic masks per update: the reference holds the
-            # critic's masks fixed across the whole optimization
-            # (resample=False), but a round-3 A/B (runs/value_diag*) found
-            # per-iteration mask resampling the MOST stable choice in this
-            # framework — frozen masks and/or no target network collapse
-            # the variant at full opt-iteration counts. Documented
-            # divergence; pass noise=value_noise for the frozen-mask
-            # semantics.
-            k_v = jax.random.fold_in(step_key, 0x7A1)
-            v_params, v_tgt, v_opt, v_loss = value_update(
-                v_params, v_tgt, v_opt, value_stats, sg(states), sg(rewards),
-                k_v)
+            # critic mask schedule (cfg.val_mask_mode):
+            #   'epoch' — reference semantics: the update reuses the per-
+            #   PEGASUS-epoch noise pytree (value_noise), the same masks the
+            #   terminal bootstrap below evaluates under (the reference's
+            #   resample=False cached-mask sharing,
+            #   `deep_pilco_no_mm_with_value.py:24,39-40`, `mc_pilco.py:137`);
+            #   'iter' — fresh masks each update iteration.
+            if cfg.val_mask_mode == 'epoch':
+                v_params, v_tgt, v_opt, v_loss = value_update(
+                    v_params, v_tgt, v_opt, value_stats, sg(states),
+                    sg(rewards), noise=value_noise)
+            else:
+                k_v = jax.random.fold_in(step_key, 0x7A1)
+                v_params, v_tgt, v_opt, v_loss = value_update(
+                    v_params, v_tgt, v_opt, value_stats, sg(states),
+                    sg(rewards), k_v)
             value_carry = (v_params, v_tgt, v_opt)
             bootstrap_params = jax.tree_util.tree_map(sg, v_params)
         else:
@@ -442,7 +455,7 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
 def mc_pilco(x0_pool, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
              opt_state=None, optimizer=None, exp=None, opt_iters=1000,
              value_spec=None, value_params=None, value_stats=None,
-             value_update_fn=None, value_state=None,
+             value_update_fn=None, value_state=None, val_mask_mode='epoch',
              pegasus=True, mm_states=False, mm_rewards=False, mm_groups=None,
              mm_method='cholesky',
              maximize=True, clip_grad=1.0, cvar_eps=0.0, reg_weight=0.0,
@@ -487,7 +500,7 @@ def mc_pilco(x0_pool, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
         maximize=maximize, clip_grad=clip_grad, cvar_eps=cvar_eps,
         reg_weight=reg_weight, discount=discount,
         resampling_period=resampling_period,
-        with_priorities=prioritized_replay)
+        with_priorities=prioritized_replay, val_mask_mode=val_mask_mode)
     use_value_scan = (value_update_fn is not None and value_state is not None)
     opt_fn = make_mc_pilco_fn(
         dyn, pol, cfg, optimizer, value_spec,

@@ -41,9 +41,22 @@ def make_value_update_fn(V, optimizer, H, discount=None, reg_weight=1e-4,
       polyak: target-network soft-update coefficient tau.
 
     Returns:
-      ``update(params, target_params, opt_state, stats, states, rewards, key)``
-      -> (params, target_params, opt_state, loss) where states is [T+1, B, D]
-      and rewards [T, B, 1] from a rollout (T >= H).
+      ``update(params, target_params, opt_state, stats, states, rewards,
+      key=None, noise=None)`` -> (params, target_params, opt_state, loss)
+      where states is [T+1, B, D] and rewards [T, B, 1] from a rollout
+      (T >= H). Exactly one of ``key``/``noise`` must be given: ``key``
+      draws fresh critic dropout masks for this update; ``noise`` (a noise
+      pytree from ``V.sample_noise``) evaluates under caller-provided
+      masks — pass the PEGASUS per-epoch pytree for the reference's
+      frozen-mask semantics, where the critic update and the terminal
+      bootstrap share the cached masks
+      (`deep_pilco_no_mm_with_value.py:24,39-40`).
+
+    Note on ``polyak``: the reference's default driver never passes
+    ``V_target``, so its bootstrap is the live critic itself
+    (`deep_pilco_no_mm_with_value.py:26,332`) — ``polyak=1.0`` reproduces
+    that (target == params after every update); ``polyak<1`` adds the soft
+    target network the reference implements but does not enable.
     """
     w_t, w_H = discount_weights(discount, H)
 
@@ -77,6 +90,11 @@ def make_value_update_fn(V, optimizer, H, discount=None, reg_weight=1e-4,
         # inject bootstrap-gradient noise that measurably destabilizes the
         # variant, see RESULTS.md round 3).
         if noise is None:
+            if key is None:
+                raise ValueError(
+                    'make_value_update_fn: pass either key= (fresh masks '
+                    'per update) or noise= (caller-provided frozen masks); '
+                    'both were None')
             noise = V.sample_noise(key, (s0.shape[0],))
         loss, grads = jax.value_and_grad(loss_fn)(
             params, target_params, stats, s0, sH, returns, noise)

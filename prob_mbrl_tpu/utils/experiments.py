@@ -78,6 +78,15 @@ def get_argument_parser(title=''):
                              'plain-output MSE critic '
                              '(`deep_pilco_no_mm_with_value.py:269-278,'
                              '38-43`)')
+    parser.add_argument('--val_mask_mode', choices=('epoch', 'iter'),
+                        default='epoch',
+                        help="critic dropout-mask schedule for the in-scan "
+                             "TD(H) refit: 'epoch' (reference semantics) "
+                             "shares the per-PEGASUS-epoch masks between "
+                             "the critic update and the terminal-bootstrap "
+                             "evaluation (resample=False cached masks, "
+                             "`deep_pilco_no_mm_with_value.py:24,39-40`); "
+                             "'iter' draws fresh masks every update")
 
     parser.add_argument('--plot_level', type=int, default=0)
     parser.add_argument('--render', action='store_true')

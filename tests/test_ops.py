@@ -299,3 +299,4 @@ class TestSmallCholesky:
             g2 = jax.grad(lambda A: f(A, jnp.linalg.cholesky))(A)
             np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                        rtol=2e-3, atol=1e-5)
+

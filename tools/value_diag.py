@@ -1,8 +1,22 @@
-"""Compressed CPU A/B for the with-value variant (VERDICT r2 #5/#6).
+"""Compressed CPU A/B for the with-value variant (VERDICT r3 #1).
 
-Compares, at test_learning.py's compressed config: plain no-MM, the
-reference-faithful MSE critic, and the density-NLL critic — to find which
-critic configuration lets the TD(H) bootstrap help (or at least not hurt).
+Round-4 axis-isolation harness. Round 3's "reference-faithful" arm was
+faithful on NO axis: it ran the density-NLL head (--val_density defaults
+True; ADVICE r3), a polyak-0.005 target network (the reference driver never
+passes V_target, so its bootstrap is the LIVE critic —
+`deep_pilco_no_mm_with_value.py:26,332`), and per-iteration mask resampling
+(the reference shares per-epoch cached masks between the critic update and
+the terminal bootstrap via resample=False, `:24,39-40`). This harness
+replicates the reference semantics exactly, then flips one axis at a time:
+
+  novalue         plain no-MM baseline at the compressed scale (solve bar)
+  faithful        MSE [200,200] lr 1e-4, no target, epoch-frozen shared masks
+  faithful_rp99   + the reference's resampling_period=99 (repo default 499)
+  ax_itermask     faithful but fresh critic masks per update iteration
+  ax_target       faithful but polyak-0.005 target network
+  r3best          round-3 best config (NLL [64,64] lr 1e-3, iter masks)
+
+Usage: python tools/value_diag.py [seed] [arm ...]   (default: all arms)
 """
 import os
 import sys
@@ -20,13 +34,31 @@ from deep_pilco_common import run
 
 SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 
+FAITHFUL = ('--no-val_density', '--val_shape', '200,200',
+            '--val_lr', '1e-4', '--val_polyak', '1.0',
+            '--val_mask_mode', 'epoch')
+
+ARMS = {
+    'novalue': (False, ()),
+    'faithful': (True, FAITHFUL),
+    'faithful_rp99': (True, FAITHFUL + ('--resampling_period', '99')),
+    'ax_itermask': (True, ('--no-val_density', '--val_shape', '200,200',
+                           '--val_lr', '1e-4', '--val_polyak', '1.0',
+                           '--val_mask_mode', 'iter')),
+    'ax_target': (True, ('--no-val_density', '--val_shape', '200,200',
+                         '--val_lr', '1e-4', '--val_polyak', '0.005',
+                         '--val_mask_mode', 'epoch')),
+    'r3best': (True, ('--val_density', '--val_shape', '64,64',
+                      '--val_lr', '1e-3', '--val_mask_mode', 'iter')),
+}
+
 
 def compressed_args(name, extra=()):
     parser = get_argument_parser(name)
     args = parser.parse_args(list(extra))
     args.seed = SEED
-    args.ps_iters = 8
-    args.pol_opt_iters = 300
+    args.ps_iters = 5
+    args.pol_opt_iters = 1000
     args.dyn_opt_iters = 800
     args.pol_batch_size = 50
     args.output_folder = f'/root/repo/runs/value_diag_{name}_s{SEED}'
@@ -34,18 +66,10 @@ def compressed_args(name, extra=()):
 
 
 def main():
-    for name, use_value, extra in (
-            ('r2cfg_full_iters', True, ('--val_polyak', '0.005',
-                                        '--val_density',
-                                        '--val_shape', '64,64',
-                                        '--val_lr', '1e-3')),
-            ('r2cfg_mse_full_iters', True, ('--val_polyak', '0.005',
-                                            '--val_shape', '64,64',
-                                            '--val_lr', '1e-4'))):
+    selected = sys.argv[2:] or list(ARMS)
+    for name in selected:
+        use_value, extra = ARMS[name]
         args = compressed_args(name, extra)
-        if name.endswith('full_iters'):
-            args.pol_opt_iters = 1000
-            args.ps_iters = 5
         returns, _ = run(args, mm_states=False, mm_rewards=False,
                          use_value=use_value, init_state_noise_mult=1e-1,
                          experiment_name=name)
