@@ -76,7 +76,7 @@ def build(n_particles=100, steps=15, hidden=(200, 200), D=5, U=1,
 
 def measure(n_particles=100, mm_method='cholesky', dtype=None, steps=15,
             iters=200, reps=5, hidden=(200, 200), profile_dir=None,
-            x0_pool_rows=None, unroll=None, iter_unroll=1):
+            x0_pool_rows=None, unroll=None, iter_unroll=1, fused=None):
     """Time the jitted MC-PILCO optimizer.
 
     Returns (rates, flops_per_launch): ``rates`` is the list of
@@ -95,7 +95,8 @@ def measure(n_particles=100, mm_method='cholesky', dtype=None, steps=15,
                         mm_states=mm, mm_rewards=mm,
                         mm_method=(mm_method if mm else 'cholesky'),
                         rollout_unroll=unroll,
-                        iteration_unroll=iter_unroll)
+                        iteration_unroll=iter_unroll,
+                        fused_rollout=fused)
     optimizer = optax.adam(1e-3)
     opt = make_mc_pilco_fn(dyn, pol, cfg, optimizer)
     opt_state = optimizer.init(pol_params)
@@ -189,14 +190,18 @@ def main():
                     help='rollout time-scan unroll factor')
     ap.add_argument('--iter_unroll', type=int, default=1,
                     help='optimizer-iteration scan unroll factor')
+    ap.add_argument('--fused', default='auto', choices=['auto', 'on', 'off'],
+                    help='Pallas fused-rollout kernel (auto = on for '
+                         'supported configs on TPU)')
     args = ap.parse_args()
+    fused = {'auto': None, 'on': True, 'off': False}[args.fused]
 
     if args.sweep:
         for mm in ('none', 'mix', 'cholesky'):
             for B in (100, 1000, 4096):
                 for dt in (None, 'bfloat16'):
                     rates, fl = measure(B, mm, dt, iters=args.iters,
-                                        reps=args.reps)
+                                        reps=args.reps, fused=fused)
                     emit(f'mc_pilco_{mm}_B{B}_{dt or "f32"}', rates, mm,
                          fl, args.iters, B)
         return
@@ -205,7 +210,8 @@ def main():
     rates, fl = measure(args.particles, args.mm_method, args.dtype,
                         iters=args.iters, reps=args.reps,
                         profile_dir=args.profile, x0_pool_rows=x0_rows,
-                        unroll=args.unroll, iter_unroll=args.iter_unroll)
+                        unroll=args.unroll, iter_unroll=args.iter_unroll,
+                        fused=fused)
     emit('mc_pilco_mm_particle_steps_per_s', rates, args.mm_method, fl,
          args.iters, args.particles)
 

@@ -155,6 +155,10 @@ def run(args, mm_states=False, mm_rewards=False, use_value=False,
             raise SystemExit(
                 f'--pol_batch_size {args.pol_batch_size} must divide by '
                 f'--n_devices {args.n_devices}')
+        if args.dyn_batch_size % args.n_devices:
+            raise SystemExit(
+                f'--dyn_batch_size {args.dyn_batch_size} must divide by '
+                f'--n_devices {args.n_devices}')
         mesh = parallel.make_mesh(args.n_devices)
         print(f'[{experiment_name}] sharding {args.pol_batch_size} particles '
               f'over {args.n_devices} devices '
@@ -272,10 +276,13 @@ def run(args, mm_states=False, mm_rewards=False, use_value=False,
         X, Y = jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)
         dyn_stats = dyn.fit_stats(X, Y)
         key, kt = jax.random.split(key)
+        # --n_devices also shards the dynamics fit: GSPMD data-parallelizes
+        # each minibatch over the mesh (grads psum'd, params replicated) —
+        # the multi-chip episode is sharded end-to-end, fit + policy opt
         dyn_params, dyn_opt_state, dyn_metrics = train_regressor(
             dyn.regressor, dyn_params, dyn_stats, X, Y, kt,
             iters=args.dyn_opt_iters, batchsize=args.dyn_batch_size,
-            optimizer=dyn_opt, opt_state=dyn_opt_state)
+            optimizer=dyn_opt, opt_state=dyn_opt_state, mesh=mesh)
         E_lml = float(np.asarray(dyn_metrics['E_lml'])[-50:].mean())
         if writer:
             # per-episode namespacing (`train_regressor.py:148-158`)

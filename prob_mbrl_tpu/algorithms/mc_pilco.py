@@ -124,6 +124,13 @@ class MCPILCOConfig:
     # params dependence limits cross-iteration ILP; measured A/B in
     # BASELINE.md before keeping the default at 1)
     iteration_unroll: int = 1
+    # Fuse the whole rollout + loss (fwd AND bwd) into single Pallas
+    # mega-kernels (`ops/pallas/fused_rollout.py`). The headline iteration
+    # otherwise lowers to ~1600 leaf HLO ops whose per-op overhead dominates
+    # at small particle counts. None = auto (on when the configuration is
+    # supported and the backend is a TPU); True forces it (interpret-mode on
+    # CPU — slow, for tests); False disables.
+    fused_rollout: Optional[bool] = None
     # critic dropout-mask schedule for the in-scan TD(H) refit:
     # 'epoch' = the reference semantics — the critic update reuses the SAME
     # per-epoch noise pytree as the terminal-bootstrap evaluation (the
@@ -225,6 +232,28 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         def constrain_time_particles(x):
             return x
 
+    # ---- fused Pallas rollout (see MCPILCOConfig.fused_rollout) ----------
+    from ..ops.pallas import fused_rollout as _fr
+    _fused_ok = _fr.supports(cfg, dyn, pol, value_update, mesh)
+    _dev0 = jax.devices()[0]
+    _on_tpu = ('tpu' in _dev0.platform.lower()
+               or 'TPU' in getattr(_dev0, 'device_kind', ''))
+    if cfg.fused_rollout is None:
+        _use_fused = _fused_ok and _on_tpu
+    else:
+        _use_fused = bool(cfg.fused_rollout) and _fused_ok
+        if cfg.fused_rollout and not _fused_ok:
+            import warnings
+            warnings.warn('fused_rollout=True but the configuration is not '
+                          'supported by the fused kernel (see '
+                          'ops.pallas.fused_rollout.supports); falling back '
+                          'to the XLA rollout path.', stacklevel=2)
+    fused_loss = (_fr.make_fused_loss(dyn, pol, cfg.steps, w_t,
+                                      cfg.mm_states, cfg.mm_rewards,
+                                      cfg.maximize,
+                                      interpret=not _on_tpu)
+                  if _use_fused else None)
+
     use_mix = (cfg.mm_method == 'mix' and not cfg.infer_noise_variables)
     # Mixing matrices are [M, M] per group: at large B an ungrouped matrix is
     # an O(B^2) memory / O(B^3) QR hazard (the PEGASUS bank holds n_epochs of
@@ -276,6 +305,22 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
     def loss_fn(pol_params, action_eps, x0, dyn_params, dyn_stats, noise,
                 step_key, value_params, value_stats, value_carry):
         dyn_noise, pol_noise, value_noise, z_mm, z_rr = noise
+
+        if fused_loss is not None:
+            # single-kernel fwd + single-kernel bwd; the per-step
+            # standardized/rolled MM noise is the same hoisting the XLA
+            # rollout does (`utils/rollout.py:213-221`)
+            D = x0.shape[-1]
+            zmt = (_fr.prepare_mm_noise(z_mm, cfg.steps, B)
+                   if cfg.mm_states
+                   else jnp.zeros((cfg.steps, B, D), x0.dtype))
+            zrt = (_fr.prepare_mm_noise(z_rr, cfg.steps, B)
+                   if cfg.mm_rewards
+                   else jnp.zeros((cfg.steps, B, 1), x0.dtype))
+            loss, mean_return = fused_loss(
+                pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
+                zmt, zrt, action_eps)
+            return loss, (mean_return, value_carry, jnp.zeros(()))
 
         traj = rollout_fn(
             x0, dyn, pol, cfg.steps, dyn_params, dyn_stats, pol_params,

@@ -41,6 +41,10 @@ def to_complex(x, dims):
         angles = x[..., list(dims)]
         others = x[..., list(odims)]
         return np.concatenate([others, np.sin(angles), np.cos(angles)], -1)
-    angles = jnp.take(x, jnp.asarray(dims), axis=-1)
-    others = jnp.take(x, jnp.asarray(odims), axis=-1)
+    # static per-dim slices instead of a gather: identical semantics, but
+    # slices+concat lower everywhere (incl. Mosaic, whose gather support is
+    # partial — the fused rollout kernel traces through this function)
+    angles = jnp.concatenate([x[..., d:d + 1] for d in dims], -1)
+    others = (jnp.concatenate([x[..., d:d + 1] for d in odims], -1)
+              if odims else x[..., :0])
     return jnp.concatenate([others, jnp.sin(angles), jnp.cos(angles)], -1)

@@ -1,0 +1,355 @@
+"""Single-kernel fused MC-PILCO rollout + loss (forward AND backward).
+
+Why: the headline policy-optimization iteration lowers to ~1600 leaf HLO ops
+on TPU (results/profile_headline trace: 322k leaf ops / 200 iters, median op
+0.107 us) — at B=100 particles the device spends essentially ALL its time on
+per-op overhead, not FLOPs (0.75% MFU). XLA cannot fuse across the matmul
+boundaries of the 15-step rollout, so the fix is a Pallas mega-kernel: the
+ENTIRE horizon (policy MLP -> dynamics MLP -> density resample -> reward ->
+moment-matching chain, all T steps) runs in ONE kernel invocation from VMEM,
+and the backward pass is a SECOND single kernel that recomputes the forward
+and applies reverse-mode AD *inside* the kernel (``jax.vjp`` of the same jnp
+step code, traced into the kernel body — no residual traffic through HBM).
+
+Reuse strategy: the kernel body calls the real building blocks
+(``Policy.apply``, ``DynamicsModel.apply``, the reward closure) so semantics
+stay pinned to the XLA path; ``jax.closure_convert`` extracts every captured
+constant (numpy masks, action-bound scales, ...) into explicit kernel inputs.
+Only the moment-matching resample is re-expressed here in mask-and-reduce
+form (`_mm_resample_kf` / `_safe_cholesky_kf`): the slice/argmax/take
+patterns of `ops.math.safe_cholesky` have autodiff adjoints Mosaic cannot
+lower ("Offset change" on offset-vector reductions), while one-hot
+mask-multiply-reduce formulations lower cleanly in both directions. Parity
+with the reference kernels is asserted in tests/test_fused_rollout.py.
+
+Semantics matched (see `utils/rollout.py:130-311`, reference
+`prob_mbrl/utils/rollout.py:93-153`): PEGASUS pinned noise, rewards evaluated
+on PRE-state-MM next states, per-step cyclically-rolled standardized MM
+noise, discounted mean-return loss (`algorithms/mc_pilco.py` loss_fn).
+Supported configuration (gated by :func:`supports`): cholesky-MM or no-MM,
+known analytic reward, ungrouped, PEGASUS, no CVaR/value/priorities/mesh.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# Kernel-friendly moment matching (mask-and-reduce formulations)
+# ---------------------------------------------------------------------------
+
+def _eye(D, dtype):
+    r = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+    return (r == c).astype(dtype)
+
+
+def _outer(a, b):
+    """[D, 1] x [D, 1] -> [D, D] outer product without a transpose op
+    (dot_general contracting the singleton dims — Mosaic-friendly)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _small_cholesky_kf(A, eye):
+    """Unrolled outer-product Cholesky, one-hot mask formulation.
+
+    Identical math to ``ops.math.small_cholesky`` but column extraction /
+    placement via mask-multiply-reduce instead of slicing + stack, and every
+    intermediate kept >= 2-D ([D, 1] columns, [1, 1] pivots): Mosaic rejects
+    1-D vector relayouts ("non-singleton logical dimension is replicated")
+    and the slice/stack adjoints ("Offset change" reductions).
+    """
+    D = A.shape[-1]
+    c = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+    rowpos = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
+    L = jnp.zeros_like(A)
+    for j in range(D):
+        colmask = (c == j).astype(A.dtype)                  # [D, D], col j
+        pivot = jnp.sum(A * eye * colmask, keepdims=True)   # [1, 1] = A[j,j]
+        piv = jnp.sqrt(pivot)
+        colv = jnp.sum(A * colmask, -1, keepdims=True)      # [D, 1] = A[:,j]
+        col = (colv / piv) * (rowpos >= j).astype(A.dtype)  # [D, 1]
+        L = L + col * colmask
+        if j + 1 < D:
+            A = A - _outer(col, col)
+    return L
+
+
+def _safe_cholesky_kf(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
+    """`ops.math.safe_cholesky` semantics, first-ok-select in product form.
+
+    The original's ``argmax(ok)`` + ``jnp.take`` jitter select has no Mosaic
+    lowering; the equivalent branch-free form below accumulates the first ok
+    jitter with a running ``prod(1-ok)`` weight (falling back to the LAST
+    jitter when none is ok, exactly like ``idx = max_tries - 1``). The whole
+    selection runs under stop_gradient like the original; only the final
+    factorization is differentiated. All intermediates [1, 1]-shaped.
+    """
+    D = S.shape[-1]
+    eye = _eye(D, S.dtype)
+    diag = jnp.sum(S * eye, -1, keepdims=True)              # [D, 1]
+    scale = jax.lax.stop_gradient(
+        jnp.mean(jnp.abs(diag), keepdims=True) + 1e-30)     # [1, 1]
+    S_ng = jax.lax.stop_gradient(S)
+    tol = 1e-5 * jnp.sqrt(scale)
+
+    not_ok = jnp.ones((1, 1), S.dtype)
+    sel = jnp.zeros((1, 1), S.dtype)
+    last_jit = 0.0
+    for i in range(max_tries):
+        jit_i = float(initial_jitter * factor ** i)
+        last_jit = jit_i
+        L_i = _small_cholesky_kf(S_ng + (jit_i * scale) * eye, eye)
+        diags = jnp.sum(L_i * eye, -1, keepdims=True)       # [D, 1]
+        finite = jnp.all(jnp.isfinite(L_i), keepdims=True)  # [1, 1]
+        conditioned = jnp.all(diags > tol, keepdims=True)   # [1, 1]
+        ok = (finite & conditioned).astype(S.dtype)
+        sel = sel + ok * not_ok * jit_i
+        not_ok = not_ok * (1.0 - ok)
+    sel = sel + not_ok * last_jit
+    sel = jax.lax.stop_gradient(sel)
+    return _small_cholesky_kf(S + (sel * scale) * eye, eye)
+
+
+def _mm_resample_kf(x, z_std):
+    """`ops.moment_matching.mm_resample` (ungrouped, pre-standardized z).
+
+    m + z @ L^T via dot_general contracting on L's LAST axis — no transpose
+    op (Mosaic transposes of tiny tiles are avoidable here).
+    """
+    B = x.shape[0]
+    m = jnp.mean(x, 0, keepdims=True)
+    d = x - m
+    S = jax.lax.dot_general(d, d, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) / (B - 1)
+    L = _safe_cholesky_kf(S)
+    z = jax.lax.stop_gradient(z_std)
+    return m + jax.lax.dot_general(z, L, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# The fused loss implementation (plain jnp — shared by kernel + parity tests)
+# ---------------------------------------------------------------------------
+
+def make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize):
+    """Build ``impl(pol_params, x0, dyn_params, dyn_stats, dyn_noise,
+    pol_noise, z_mm_t, z_rr_t, action_eps) -> (loss, mean_return)``.
+
+    ``z_mm_t`` / ``z_rr_t`` are the per-step standardized+cyclically-rolled
+    noise stacks ([T, B, D] / [T, B, 1]) the caller prepares once per
+    iteration (same hoisting as `utils/rollout.py:213-221`). ``w_t`` is the
+    numpy discount-weight vector from ``discount_weights``.
+    """
+    w_list = [float(w) for w in np.asarray(w_t)]
+
+    def impl(pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
+             z_mm_t, z_rr_t, action_eps):
+        states = x0
+        B = x0.shape[0]
+        # accumulators stay [B, 1]: Mosaic rejects 1-D vector layouts
+        disc = jnp.zeros((B, 1), x0.dtype)
+        raw = jnp.zeros((B, 1), x0.dtype)
+        for t in range(steps):
+            acts = pol.apply(pol_params, states, pol_noise,
+                             return_samples=True)
+            if action_eps is not None:
+                acts = acts + action_eps[t]
+            nxt = dyn.apply(dyn_params, dyn_stats, states, acts, dyn_noise,
+                            return_samples=True, separate_outputs=True,
+                            deltas=False, with_rewards=False)
+            # rewards on the PRE-state-MM next states (`rollout.py:229-230`)
+            r = dyn.reward_func(nxt, acts)
+            if mm_states:
+                nxt = _mm_resample_kf(nxt, z_mm_t[t])
+            if mm_rewards:
+                r = _mm_resample_kf(r, z_rr_t[t])
+            disc = disc + w_list[t] * r
+            raw = raw + r
+            states = nxt
+        loss = jnp.mean(disc)
+        if maximize:
+            loss = -loss
+        return loss, jnp.mean(raw)
+
+    return impl
+
+
+# ---------------------------------------------------------------------------
+# Pallas wrapping: one fwd kernel, one bwd kernel (vjp traced in-kernel)
+# ---------------------------------------------------------------------------
+
+def _pad2(x):
+    """Mosaic wants >=2-D operands; pad leading singleton dims."""
+    return x.reshape((1,) * max(0, 2 - x.ndim) + x.shape)
+
+
+def make_fused_loss(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
+                    interpret=False):
+    """Build the pallas-fused (loss, mean_return) function with custom VJP.
+
+    Returns ``fused(pol_params, x0, dyn_params, dyn_stats, dyn_noise,
+    pol_noise, z_mm_t, z_rr_t, action_eps)``; differentiable w.r.t.
+    ``pol_params`` and ``action_eps`` only (all other cotangents are zeros —
+    exactly the arguments `algorithms/mc_pilco.py`'s loss differentiates).
+    """
+    impl = make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards,
+                          maximize)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def _closed(args):
+        """Trace impl to a jaxpr; its consts become explicit kernel inputs.
+
+        ``jax.closure_convert`` leaves some closed-over arrays inline (the
+        analytic-reward constants re-materialize at kernel-trace time), so
+        hoist ALL constvars explicitly: trace once with make_jaxpr, ship
+        ``jaxpr.consts`` as kernel operands, and re-bind the primitives
+        inside the kernel with ``eval_jaxpr`` — guaranteed capture-free.
+        """
+        flat, in_tree = jax.tree_util.tree_flatten(args)
+        shapes = [a.shape for a in flat]
+
+        def impl_flat(*leaves):
+            leaves = [lv.reshape(s) for lv, s in zip(leaves, shapes)]
+            return impl(*jax.tree_util.tree_unflatten(in_tree, leaves))
+
+        padded = [_pad2(a) for a in flat]
+        closed_jaxpr = jax.make_jaxpr(impl_flat)(*padded)
+        consts = [jnp.asarray(c) for c in closed_jaxpr.consts]
+        const_shapes = [c.shape for c in consts]
+        n_args = len(padded)
+
+        def closed(*vals_and_consts):
+            # operands arrive 2-D-padded (Mosaic constraint); restore the
+            # consts' traced shapes before re-binding the jaxpr
+            vals = vals_and_consts[:n_args]
+            cvals = [c.reshape(s) for c, s in
+                     zip(vals_and_consts[n_args:], const_shapes)]
+            out = jax.core.eval_jaxpr(closed_jaxpr.jaxpr, cvals, *vals)
+            return tuple(out)
+
+        return closed, padded, consts
+
+    def _fwd_pallas(args):
+        closed, padded, consts = _closed(args)
+        n_in = len(padded)
+
+        def fwd_kernel(*refs):
+            in_refs = refs[:n_in + len(consts)]
+            loss_ref, mret_ref = refs[n_in + len(consts):]
+            vals = [r[:] for r in in_refs]
+            loss, mret = closed(*vals)
+            loss_ref[0, 0] = loss
+            mret_ref[0, 0] = mret
+
+        cparams = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+        loss, mret = pl.pallas_call(
+            fwd_kernel,
+            out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+            in_specs=[vmem] * (n_in + len(consts)),
+            out_specs=(smem, smem),
+            compiler_params=cparams,
+            interpret=interpret,
+        )(*padded, *[_pad2(c) for c in consts])
+        return loss[0, 0], mret[0, 0]
+
+    def _bwd_pallas(args, g_loss):
+        closed, padded, consts = _closed(args)
+        n_in = len(padded)
+        # grads w.r.t. pol_params leaves + action_eps (the trailing arg)
+        pol_flat, _ = jax.tree_util.tree_flatten(args[0])
+        n_pol = len(pol_flat)
+        eps_idx = n_in - 1  # action_eps is the last flattened leaf block
+        diff_idx = list(range(n_pol)) + [eps_idx]
+
+        def bwd_kernel(*refs):
+            in_refs = refs[:n_in + len(consts)]
+            g_ref = refs[n_in + len(consts)]
+            out_refs = refs[n_in + len(consts) + 1:]
+            vals = [r[:] for r in in_refs]
+
+            def loss_of(diff_vals):
+                v = list(vals)
+                for k, i in enumerate(diff_idx):
+                    v[i] = diff_vals[k]
+                return closed(*v)[0]
+
+            _, vjp = jax.vjp(loss_of, [vals[i] for i in diff_idx])
+            grads, = vjp(g_ref[0, 0])
+            for r, g in zip(out_refs, grads):
+                r[:] = g
+
+        cparams = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+        outs = pl.pallas_call(
+            bwd_kernel,
+            out_shape=tuple(jax.ShapeDtypeStruct(padded[i].shape,
+                                                 padded[i].dtype)
+                            for i in diff_idx),
+            in_specs=[vmem] * (n_in + len(consts)) + [smem],
+            out_specs=tuple([vmem] * len(diff_idx)),
+            compiler_params=cparams,
+            interpret=interpret,
+        )(*padded, *[_pad2(c) for c in consts],
+          g_loss.reshape(1, 1).astype(jnp.float32))
+        return outs
+
+    @jax.custom_vjp
+    def fused(pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
+              z_mm_t, z_rr_t, action_eps):
+        return _fwd_pallas((pol_params, x0, dyn_params, dyn_stats,
+                            dyn_noise, pol_noise, z_mm_t, z_rr_t,
+                            action_eps))
+
+    def fused_fwd(*args):
+        return _fwd_pallas(args), args
+
+    def fused_bwd(args, g):
+        g_loss = g[0]
+        outs = _bwd_pallas(args, g_loss)
+        pol_flat, pol_tree = jax.tree_util.tree_flatten(args[0])
+        n_pol = len(pol_flat)
+        gpol = jax.tree_util.tree_unflatten(
+            pol_tree, [o.reshape(p.shape)
+                       for o, p in zip(outs[:n_pol], pol_flat)])
+        g_eps = outs[n_pol].reshape(args[8].shape)
+        zeros = tuple(jax.tree_util.tree_map(jnp.zeros_like, a)
+                      for a in args[1:8])
+        return (gpol,) + zeros + (g_eps,)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def prepare_mm_noise(z, steps, B):
+    """Standardize + cyclically pre-roll fixed MM noise to [T, B, zD].
+
+    Mirrors `utils/rollout.py:213-221` (ungrouped cholesky path): the
+    standardization commutes with the roll, so it runs once per noise epoch.
+    """
+    from ..moment_matching import standardize_noise
+    z = standardize_noise(z)
+    tb = (np.arange(steps)[:, None] + np.arange(B)[None, :]) % B
+    return z[tb]
+
+
+def supports(cfg, dyn, pol, value_update, mesh):
+    """True when the fused kernel covers this MC-PILCO configuration."""
+    return (cfg.mm_method == 'cholesky'
+            and not cfg.infer_noise_variables
+            and cfg.mm_groups is None
+            and cfg.pegasus
+            and cfg.cvar_eps == 0.0
+            and cfg.reg_weight == 0.0
+            and not cfg.with_priorities
+            and value_update is None
+            and mesh is None
+            and dyn.reward_func is not None)

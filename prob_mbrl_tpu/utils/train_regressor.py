@@ -56,7 +56,8 @@ def init_priority_state(n, n_valid=None, dtype=jnp.float32):
 def make_train_fn(reg, optimizer, batchsize=100, reg_weight=1.0,
                   train_dropout=True, decoupled_reg=False, reg_optimizer=None,
                   prioritized_sampling=False, priority_eps=1e-3,
-                  priority_alpha=0.6, priority_warmup=100):
+                  priority_alpha=0.6, priority_warmup=100, mesh=None,
+                  batch_axis='particles'):
     """Build a jitted ``train(params, opt_state, X, Y, key, iters)`` closure.
 
     Args:
@@ -74,6 +75,15 @@ def make_train_fn(reg, optimizer, batchsize=100, reg_weight=1.0,
         (`train_regressor.py:93-127`).
       priority_eps / priority_alpha / priority_warmup: prioritization
         hyperparameters (reference defaults).
+      mesh: optional ``jax.sharding.Mesh``. When given, each sampled
+        minibatch (inputs, targets, dropout noise, weights) is
+        sharding-constrained along ``batch_axis`` so GSPMD data-parallelizes
+        the fit: per-shard forward/backward, gradients combined by an
+        automatic psum, params/opt-state replicated. ``batchsize`` must
+        divide the mesh size. The dataset itself stays replicated — the
+        per-step gather of ``batchsize`` random rows is tiny next to the
+        MLP flops, and a sharded dataset would turn every gather into an
+        all-gather of the same bytes anyway.
 
     Returns:
       ``train(params, opt_state, Xn, Yn, key, iters, reg_opt_state=None,
@@ -85,6 +95,17 @@ def make_train_fn(reg, optimizer, batchsize=100, reg_weight=1.0,
     density = reg.output_density
     if decoupled_reg and reg_optimizer is None:
         reg_optimizer = optax.sgd(1e-4)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        batch_sharding = NamedSharding(mesh, PartitionSpec(batch_axis))
+
+        def constrain_batch(tree):
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.with_sharding_constraint(a, batch_sharding),
+                tree)
+    else:
+        def constrain_batch(tree):
+            return tree
 
     def log_prob_fn(params, x, y, noise):
         outs = reg.apply(params, None, x, noise, normalize=False,
@@ -137,8 +158,9 @@ def make_train_fn(reg, optimizer, batchsize=100, reg_weight=1.0,
                 idx = jax.random.randint(k_idx, (batchsize,), 0, n)
                 weights = jnp.ones((batchsize,), Xn.dtype)
 
-            x, y = Xn[idx], Yn[idx]
-            noise = reg.sample_noise(k_noise, (batchsize,))
+            x, y = constrain_batch((Xn[idx], Yn[idx]))
+            weights = constrain_batch(weights)
+            noise = constrain_batch(reg.sample_noise(k_noise, (batchsize,)))
             (loss, (Enlml, log_probs)), grads = jax.value_and_grad(
                 data_loss_fn, has_aux=True)(params, x, y, noise, weights, n)
             updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -212,10 +234,10 @@ _TRAIN_FN_CACHE_MAX = 64
 
 def _cached_train_fn(reg, optimizer, batchsize, reg_weight, decoupled_reg,
                      reg_optimizer, prioritized_sampling, priority_eps,
-                     priority_alpha):
+                     priority_alpha, mesh=None):
     key = (id(reg), id(optimizer), batchsize, reg_weight, decoupled_reg,
            id(reg_optimizer), prioritized_sampling, priority_eps,
-           priority_alpha)
+           priority_alpha, id(mesh))
     hit = _TRAIN_FN_CACHE.get(key)
     if hit is not None and hit[0] is reg and hit[1] is optimizer \
             and hit[2] is reg_optimizer:
@@ -225,7 +247,7 @@ def _cached_train_fn(reg, optimizer, batchsize, reg_weight, decoupled_reg,
                        reg_optimizer=reg_optimizer,
                        prioritized_sampling=prioritized_sampling,
                        priority_eps=priority_eps,
-                       priority_alpha=priority_alpha)
+                       priority_alpha=priority_alpha, mesh=mesh)
     if len(_TRAIN_FN_CACHE) >= _TRAIN_FN_CACHE_MAX:
         _TRAIN_FN_CACHE.pop(next(iter(_TRAIN_FN_CACHE)))
     _TRAIN_FN_CACHE[key] = (reg, optimizer, reg_optimizer, fn)
@@ -236,7 +258,7 @@ def train_regressor(reg, params, stats, X, Y, key, iters=2000, batchsize=100,
                     optimizer=None, opt_state=None, reg_weight=1.0,
                     angle_dims=(), decoupled_reg=False, reg_optimizer=None,
                     prioritized_sampling=False, priority_eps=1e-3,
-                    priority_alpha=0.6, return_aux=False):
+                    priority_alpha=0.6, return_aux=False, mesh=None):
     """Convenience wrapper: whiten, build the train fn, run it.
 
     Returns (params, opt_state, metrics), or (params, opt_state, metrics,
@@ -255,7 +277,7 @@ def train_regressor(reg, params, stats, X, Y, key, iters=2000, batchsize=100,
     train = _cached_train_fn(reg, optimizer, batchsize, reg_weight,
                              decoupled_reg, reg_optimizer,
                              prioritized_sampling, priority_eps,
-                             priority_alpha)
+                             priority_alpha, mesh=mesh)
     params, opt_state, metrics, aux = train(params, opt_state, Xn, Yn, key,
                                             iters, n_valid=n_valid)
     if return_aux:

