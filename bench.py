@@ -200,8 +200,13 @@ def main():
         for mm in ('none', 'mix', 'cholesky'):
             for B in (100, 1000, 4096):
                 for dt in (None, 'bfloat16'):
+                    # B=100 rows use the exact headline configuration
+                    # (pinned 100-row x0 pool) so sweep and single-run
+                    # numbers are directly comparable
                     rates, fl = measure(B, mm, dt, iters=args.iters,
-                                        reps=args.reps, fused=fused)
+                                        reps=args.reps, fused=fused,
+                                        x0_pool_rows=(100 if B == 100
+                                                      else None))
                     emit(f'mc_pilco_{mm}_B{B}_{dt or "f32"}', rates, mm,
                          fl, args.iters, B)
         return

@@ -303,7 +303,7 @@ def run(args, mm_states=False, mm_rewards=False, use_value=False,
                 pol_params, opt_state=pol_opt_state, optimizer=pol_opt,
                 opt_iters=args.pol_opt_iters, mm_states=mm_states,
                 mm_rewards=mm_rewards, mm_groups=args.mm_groups,
-                mm_method=args.mm_method,
+                mm_method=args.mm_method.replace('experimental_', ''),
                 clip_grad=args.pol_clip, discount=discount,
                 init_state_noise=init_noise,
                 resampling_period=args.resampling_period,

@@ -80,17 +80,44 @@ def _small_cholesky_kf(A, eye):
     return L
 
 
+def _packed_try_consts(D, max_tries, jitters):
+    """Numpy constants for the 2-D packed jitter escalation ([G*D, D] rows).
+
+    Mosaic rejects 3-D both-minor-dim reductions and mis-lowers batched
+    dot_general, so the G attempts stack VERTICALLY as G blocks of D rows.
+    Per-block broadcast/transpose become matmuls against these constants
+    (hoisted into kernel operands by the make_jaxpr consts machinery):
+      P [GD, GD]  block-indicator (broadcast a per-block row to its block)
+      C [GD, D]   global column -> local column collapse (l -> l mod D)
+      eye_t       tiled identity, jit_r [GD, 1] per-block jitter rows
+    """
+    G = max_tries
+    GD = G * D
+    blk = np.repeat(np.arange(G), D)
+    P = (blk[:, None] == blk[None, :]).astype(np.float32)
+    C = (np.arange(GD)[:, None] % D == np.arange(D)[None, :]).astype(
+        np.float32)
+    eye_t = np.tile(np.eye(D, dtype=np.float32), (G, 1))
+    jit_r = np.asarray(jitters, np.float32).repeat(D)[:, None]
+    return P, C, eye_t, jit_r
+
+
 def _safe_cholesky_kf(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
-    """`ops.math.safe_cholesky` semantics, first-ok-select in product form.
+    """`ops.math.safe_cholesky` semantics with a Mosaic-friendly layout.
 
     The original's ``argmax(ok)`` + ``jnp.take`` jitter select has no Mosaic
-    lowering; the equivalent branch-free form below accumulates the first ok
-    jitter with a running ``prod(1-ok)`` weight (falling back to the LAST
-    jitter when none is ok, exactly like ``idx = max_tries - 1``). The whole
-    selection runs under stop_gradient like the original; only the final
-    factorization is differentiated. All intermediates [1, 1]-shaped.
+    lowering, and its [tries, D, D] batched escalation hits Mosaic 3-D
+    layout crashes — so the ``max_tries`` attempts factor as ONE 2-D packed
+    [tries*D, D] cholesky (blocks of D rows, per-block scalars broadcast by
+    constant block-indicator matmuls), and the first-ok jitter select
+    becomes a min-reduce (jitters are increasing, so the FIRST ok jitter is
+    the SMALLEST ok jitter; no-ok falls back to the last, exactly like
+    ``idx = max_tries - 1``). Selection runs under stop_gradient like the
+    original; only the final factorization is differentiated.
     """
     D = S.shape[-1]
+    G = max_tries
+    jitters = [float(initial_jitter * factor ** i) for i in range(G)]
     eye = _eye(D, S.dtype)
     diag = jnp.sum(S * eye, -1, keepdims=True)              # [D, 1]
     scale = jax.lax.stop_gradient(
@@ -98,20 +125,42 @@ def _safe_cholesky_kf(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
     S_ng = jax.lax.stop_gradient(S)
     tol = 1e-5 * jnp.sqrt(scale)
 
-    not_ok = jnp.ones((1, 1), S.dtype)
-    sel = jnp.zeros((1, 1), S.dtype)
-    last_jit = 0.0
-    for i in range(max_tries):
-        jit_i = float(initial_jitter * factor ** i)
-        last_jit = jit_i
-        L_i = _small_cholesky_kf(S_ng + (jit_i * scale) * eye, eye)
-        diags = jnp.sum(L_i * eye, -1, keepdims=True)       # [D, 1]
-        finite = jnp.all(jnp.isfinite(L_i), keepdims=True)  # [1, 1]
-        conditioned = jnp.all(diags > tol, keepdims=True)   # [1, 1]
-        ok = (finite & conditioned).astype(S.dtype)
-        sel = sel + ok * not_ok * jit_i
-        not_ok = not_ok * (1.0 - ok)
-    sel = sel + not_ok * last_jit
+    P, C, eye_t, jit_r = _packed_try_consts(D, G, jitters)
+    P = jnp.asarray(P)
+    C = jnp.asarray(C)
+    eye_t = jnp.asarray(eye_t)
+    jit_r = jnp.asarray(jit_r)
+
+    A = jnp.tile(S_ng, (G, 1)) + (jit_r * scale) * eye_t    # [GD, D]
+    c = jax.lax.broadcasted_iota(jnp.int32, (G * D, D), 1)
+    r_loc = jax.lax.broadcasted_iota(jnp.int32, (G * D, 1), 0) % D
+    # Failure is tracked at the PIVOT level (pivot^2 <= tol^2 — the same
+    # `diags > tol` criterion as ops.safe_cholesky) and the arithmetic is
+    # clamped to stay finite: a NaN anywhere would poison EVERY block
+    # through the cross-block P/C matmuls (NaN * 0 == NaN).
+    tol_sq = tol * tol
+    bad = jnp.zeros((G * D, 1), S.dtype)
+    for j in range(D):
+        colmask = (c == j).astype(A.dtype)                  # [GD, D]
+        # per-block pivot A[j, j], broadcast to the block's rows via P
+        piv_at = jnp.sum(A * eye_t * colmask, -1, keepdims=True)
+        piv_sq = jnp.dot(P, piv_at, preferred_element_type=jnp.float32)
+        bad = bad + (piv_sq <= tol_sq).astype(S.dtype)
+        piv = jnp.sqrt(jnp.maximum(piv_sq, 1e-30))
+        colv = jnp.sum(A * colmask, -1, keepdims=True)      # [GD, 1]
+        col = jnp.clip(colv / piv, -1e18, 1e18) \
+            * (r_loc >= j).astype(A.dtype)
+        if j + 1 < D:
+            # block-diagonal outer product: full outer, cross-block masked,
+            # global columns collapsed back to local via C
+            O = jax.lax.dot_general(col, col, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            A = A - jnp.dot(O * P, C, preferred_element_type=jnp.float32)
+    bad_blk = jnp.dot(P, bad, preferred_element_type=jnp.float32)
+    BIG = jnp.asarray(3e38, S.dtype)
+    cand = jnp.where(bad_blk > 0, BIG, jit_r)               # [GD, 1]
+    sel = jnp.min(cand, 0, keepdims=True)                   # [1, 1]
+    sel = jnp.where(sel >= BIG, jitters[-1], sel)
     sel = jax.lax.stop_gradient(sel)
     return _small_cholesky_kf(S + (sel * scale) * eye, eye)
 

@@ -55,14 +55,16 @@ def get_argument_parser(title=''):
     parser.add_argument('--pol_shape', type=load_csv, default=[200, 200])
 
     # critic flags (`deep_pilco_no_mm_with_value.py:160-163`). Defaults are
-    # the best full-scale config found in the round-3 A/B sweep
-    # (RESULTS.md): small density-head critic at 1e-3. The reference's
-    # exact critic is `--val_shape 200,200 --val_lr 1e-4` without
-    # --val_density (plain-output MSE) — it collapses at the full
-    # 1000-iteration cadence in this framework.
-    parser.add_argument('--val_lr', type=float, default=1e-3)
+    # the REFERENCE-EXACT critic: plain-output MSE [200,200] at 1e-4, no
+    # target network (val_polyak=1.0), per-PEGASUS-epoch frozen masks
+    # shared with the terminal bootstrap (val_mask_mode='epoch'). Round 3
+    # shipped a [64,64] NLL workaround because its 'faithful' arm was
+    # mislabeled on every axis (density head on, polyak-0.005 target the
+    # reference never enables, per-iteration masks); with the true
+    # semantics the variant solves cartpole at full scale (RESULTS.md r4).
+    parser.add_argument('--val_lr', type=float, default=1e-4)
     parser.add_argument('--val_drop_rate', type=float, default=0.1)
-    parser.add_argument('--val_shape', type=load_csv, default=[64, 64])
+    parser.add_argument('--val_shape', type=load_csv, default=[200, 200])
     parser.add_argument('--val_polyak', type=float, default=1.0,
                         help='critic target-network soft-update tau. The '
                              'reference driver passes NO target network '
@@ -71,11 +73,10 @@ def get_argument_parser(title=''):
                              'which tau=1.0 replicates; tau<1 enables a '
                              'lagging polyak target')
     parser.add_argument('--val_density', action=argparse.BooleanOptionalAction,
-                        default=True,
+                        default=False,
                         help='critic with a diag-Gaussian head + NLL loss '
-                             '(default; best round-3 config). '
-                             '--no-val_density selects the reference '
-                             'plain-output MSE critic '
+                             '(experimental alternative). The default (off) '
+                             'is the reference plain-output MSE critic '
                              '(`deep_pilco_no_mm_with_value.py:269-278,'
                              '38-43`)')
     parser.add_argument('--val_mask_mode', choices=('epoch', 'iter'),
@@ -101,14 +102,18 @@ def get_argument_parser(title=''):
                         help='shard particles over this many devices')
     parser.add_argument('--dtype', type=str, default='float32')
     parser.add_argument('--mm_method', type=str, default='cholesky',
-                        choices=['cholesky', 'mix'],
+                        choices=['cholesky', 'experimental_mix'],
                         help="moment-matching kernel: 'cholesky' = "
                              "reference-exact Gaussian resampling (the "
-                             "default and the headline-benchmark kernel); "
-                             "'mix' = EXPERIMENTAL orthogonal particle "
+                             "default and the headline-benchmark kernel; "
+                             "since round 4 it runs inside the fused "
+                             "Pallas rollout kernel on TPU). "
+                             "'experimental_mix' = orthogonal particle "
                              'mixing — exact moments but no per-step '
                              're-Gaussianization; known to collapse '
-                             'learning on some seeds (RESULTS.md)')
+                             'learning on some seeds (RESULTS.md), and its '
+                             'perf rationale is superseded by the fused '
+                             'cholesky kernel. Kept for experiments only.')
     return parser
 
 
