@@ -287,6 +287,17 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         else:
             z_mm = jax.random.normal(kz1, (B, D))
             z_rr = jax.random.normal(kz2, (B, 1))
+            if fused_loss is not None:
+                # per-epoch hoisting for the fused kernel: standardize +
+                # cyclically pre-roll ONCE per noise epoch instead of per
+                # iteration (`utils/rollout.py:213-221` hoisting, moved one
+                # level further out)
+                z_mm = (_fr.prepare_mm_noise(z_mm, cfg.steps, B)
+                        if cfg.mm_states
+                        else jnp.zeros((cfg.steps, B, D), z_mm.dtype))
+                z_rr = (_fr.prepare_mm_noise(z_rr, cfg.steps, B)
+                        if cfg.mm_rewards
+                        else jnp.zeros((cfg.steps, B, 1), z_rr.dtype))
         value_noise = (value_spec.sample_noise(kv, (B,))
                        if value_spec is not None else None)
         return (dyn_noise, pol_noise, value_noise, z_mm, z_rr)
@@ -307,19 +318,12 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         dyn_noise, pol_noise, value_noise, z_mm, z_rr = noise
 
         if fused_loss is not None:
-            # single-kernel fwd + single-kernel bwd; the per-step
-            # standardized/rolled MM noise is the same hoisting the XLA
-            # rollout does (`utils/rollout.py:213-221`)
-            D = x0.shape[-1]
-            zmt = (_fr.prepare_mm_noise(z_mm, cfg.steps, B)
-                   if cfg.mm_states
-                   else jnp.zeros((cfg.steps, B, D), x0.dtype))
-            zrt = (_fr.prepare_mm_noise(z_rr, cfg.steps, B)
-                   if cfg.mm_rewards
-                   else jnp.zeros((cfg.steps, B, 1), x0.dtype))
+            # single-kernel fwd + single-kernel bwd; z_mm/z_rr arrive as the
+            # per-epoch-hoisted [T, B, zD] standardized+rolled stacks (see
+            # sample_all_noise)
             loss, mean_return = fused_loss(
                 pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
-                zmt, zrt, action_eps)
+                z_mm, z_rr, action_eps)
             return loss, (mean_return, value_carry, jnp.zeros(()))
 
         traj = rollout_fn(

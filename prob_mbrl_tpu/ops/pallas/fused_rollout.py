@@ -89,6 +89,7 @@ def _packed_try_consts(D, max_tries, jitters):
     (hoisted into kernel operands by the make_jaxpr consts machinery):
       P [GD, GD]  block-indicator (broadcast a per-block row to its block)
       C [GD, D]   global column -> local column collapse (l -> l mod D)
+      CT [D, GD]  its transpose (extract the selected block by matmul)
       eye_t       tiled identity, jit_r [GD, 1] per-block jitter rows
     """
     G = max_tries
@@ -99,7 +100,7 @@ def _packed_try_consts(D, max_tries, jitters):
         np.float32)
     eye_t = np.tile(np.eye(D, dtype=np.float32), (G, 1))
     jit_r = np.asarray(jitters, np.float32).repeat(D)[:, None]
-    return P, C, eye_t, jit_r
+    return P, C, C.T.copy(), eye_t, jit_r
 
 
 def _safe_cholesky_kf(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
@@ -112,8 +113,17 @@ def _safe_cholesky_kf(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
     constant block-indicator matmuls), and the first-ok jitter select
     becomes a min-reduce (jitters are increasing, so the FIRST ok jitter is
     the SMALLEST ok jitter; no-ok falls back to the last, exactly like
-    ``idx = max_tries - 1``). Selection runs under stop_gradient like the
-    original; only the final factorization is differentiated.
+    ``idx = max_tries - 1``).
+
+    Unlike ops.safe_cholesky (which refactorizes at the selected jitter),
+    the packed graph here is DIFFERENTIABLE (built from S, not
+    stop_gradient(S)) and the selected block's factor is extracted by one
+    constant matmul — no second factorization, forward or backward. The
+    selection mask itself is stop_gradient; the clamps that keep FAILED
+    blocks finite are inactive on any ok block (its pivots exceed tol), so
+    the extracted factor and its gradient are bit-identical to a fresh
+    ``small_cholesky(S + sel*scale*I)``. If every attempt fails, the
+    result is poisoned with NaN to surface the failure like the original.
     """
     D = S.shape[-1]
     G = max_tries
@@ -122,16 +132,16 @@ def _safe_cholesky_kf(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
     diag = jnp.sum(S * eye, -1, keepdims=True)              # [D, 1]
     scale = jax.lax.stop_gradient(
         jnp.mean(jnp.abs(diag), keepdims=True) + 1e-30)     # [1, 1]
-    S_ng = jax.lax.stop_gradient(S)
     tol = 1e-5 * jnp.sqrt(scale)
 
-    P, C, eye_t, jit_r = _packed_try_consts(D, G, jitters)
+    P, C, CT, eye_t, jit_r = _packed_try_consts(D, G, jitters)
     P = jnp.asarray(P)
     C = jnp.asarray(C)
+    CT = jnp.asarray(CT)
     eye_t = jnp.asarray(eye_t)
     jit_r = jnp.asarray(jit_r)
 
-    A = jnp.tile(S_ng, (G, 1)) + (jit_r * scale) * eye_t    # [GD, D]
+    A = jnp.tile(S, (G, 1)) + (jit_r * scale) * eye_t       # [GD, D]
     c = jax.lax.broadcasted_iota(jnp.int32, (G * D, D), 1)
     r_loc = jax.lax.broadcasted_iota(jnp.int32, (G * D, 1), 0) % D
     # Failure is tracked at the PIVOT level (pivot^2 <= tol^2 — the same
@@ -140,6 +150,7 @@ def _safe_cholesky_kf(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
     # through the cross-block P/C matmuls (NaN * 0 == NaN).
     tol_sq = tol * tol
     bad = jnp.zeros((G * D, 1), S.dtype)
+    L = jnp.zeros_like(A)
     for j in range(D):
         colmask = (c == j).astype(A.dtype)                  # [GD, D]
         # per-block pivot A[j, j], broadcast to the block's rows via P
@@ -150,6 +161,7 @@ def _safe_cholesky_kf(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
         colv = jnp.sum(A * colmask, -1, keepdims=True)      # [GD, 1]
         col = jnp.clip(colv / piv, -1e18, 1e18) \
             * (r_loc >= j).astype(A.dtype)
+        L = L + col * colmask
         if j + 1 < D:
             # block-diagonal outer product: full outer, cross-block masked,
             # global columns collapsed back to local via C
@@ -159,10 +171,18 @@ def _safe_cholesky_kf(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
     bad_blk = jnp.dot(P, bad, preferred_element_type=jnp.float32)
     BIG = jnp.asarray(3e38, S.dtype)
     cand = jnp.where(bad_blk > 0, BIG, jit_r)               # [GD, 1]
-    sel = jnp.min(cand, 0, keepdims=True)                   # [1, 1]
-    sel = jnp.where(sel >= BIG, jitters[-1], sel)
-    sel = jax.lax.stop_gradient(sel)
-    return _small_cholesky_kf(S + (sel * scale) * eye, eye)
+    sel_raw = jnp.min(cand, 0, keepdims=True)               # [1, 1]
+    all_bad = (sel_raw >= BIG).astype(S.dtype)              # [1, 1]
+    sel = jax.lax.stop_gradient(jnp.where(sel_raw >= BIG, jitters[-1],
+                                          sel_raw))
+    # extract the selected block: rows where jit_r == sel and the block is
+    # ok (exact float equality — sel IS a copy of one jit_r entry)
+    w = jax.lax.stop_gradient(
+        ((jit_r == sel) & (bad_blk == 0)).astype(S.dtype))  # [GD, 1]
+    L_sel = jnp.dot(CT, L * w, preferred_element_type=jnp.float32)
+    # no attempt ok: surface the failure as NaN like the original (where,
+    # not multiply — 0 * nan == nan)
+    return jnp.where(all_bad > 0, jnp.asarray(np.nan, S.dtype), L_sel)
 
 
 def _mm_resample_kf(x, z_std):
