@@ -253,6 +253,13 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
                                       cfg.maximize,
                                       interpret=not _on_tpu)
                   if _use_fused else None)
+    # the optimizer iteration consumes loss+grads directly, so it uses the
+    # single-kernel value-and-grad variant (no separate forward launch)
+    fused_vg = (_fr.make_fused_value_and_grad(dyn, pol, cfg.steps, w_t,
+                                              cfg.mm_states, cfg.mm_rewards,
+                                              cfg.maximize,
+                                              interpret=not _on_tpu)
+                if _use_fused else None)
 
     use_mix = (cfg.mm_method == 'mix' and not cfg.infer_noise_variables)
     # Mixing matrices are [M, M] per group: at large B an ungrouped matrix is
@@ -407,7 +414,15 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
 
         action_eps = constrain_time_particles(
             jnp.zeros((cfg.steps, B) + (pol_action_dims,)))
-        if cfg.with_priorities:
+        if fused_vg is not None:
+            # single kernel: loss + mean_return + grads in one launch
+            dyn_noise, pol_noise, _, z_mm_t, z_rr_t = noise
+            loss, mean_return, g_pol = fused_vg(
+                pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
+                z_mm_t, z_rr_t, action_eps)
+            aux = (mean_return, value_carry, jnp.zeros(()))
+            scores = jnp.zeros((G,))
+        elif cfg.with_priorities:
             (loss, aux), (g_pol, g_eps) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(
                     pol_params, action_eps, x0, dyn_params, dyn_stats, noise,

@@ -398,6 +398,85 @@ def make_fused_loss(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
     return fused
 
 
+def make_fused_value_and_grad(dyn, pol, steps, w_t, mm_states, mm_rewards,
+                              maximize, interpret=False):
+    """ONE kernel per optimizer iteration: (loss, mean_return, pol grads).
+
+    ``jax.value_and_grad`` over the custom-vjp pair runs TWO kernels (a
+    forward for the primal, a backward that recomputes the forward anyway —
+    55 + 143 us at the headline config). This variant traces the vjp inside
+    a single kernel and writes the primal outputs alongside the gradients,
+    deleting the separate forward launch. Returns
+    ``f(pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
+    z_mm_t, z_rr_t, action_eps) -> (loss, mean_return, grads_pytree)``.
+    Not differentiable (the optimizer consumes the grads directly).
+    """
+    impl = make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards,
+                          maximize)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def fused_vg(*args):
+        flat, in_tree = jax.tree_util.tree_flatten(args)
+        shapes = [a.shape for a in flat]
+
+        def impl_flat(*leaves):
+            leaves = [lv.reshape(s) for lv, s in zip(leaves, shapes)]
+            return impl(*jax.tree_util.tree_unflatten(in_tree, leaves))
+
+        padded = [_pad2(a) for a in flat]
+        closed_jaxpr = jax.make_jaxpr(impl_flat)(*padded)
+        consts = [jnp.asarray(c) for c in closed_jaxpr.consts]
+        const_shapes = [c.shape for c in consts]
+        n_in = len(padded)
+        pol_flat, pol_tree = jax.tree_util.tree_flatten(args[0])
+        n_pol = len(pol_flat)
+
+        def kernel(*refs):
+            in_refs = refs[:n_in + len(consts)]
+            loss_ref, mret_ref = refs[n_in + len(consts):
+                                      n_in + len(consts) + 2]
+            out_refs = refs[n_in + len(consts) + 2:]
+            vals = [r[:] for r in in_refs]
+            cvals = [c.reshape(s) for c, s in
+                     zip(vals[n_in:], const_shapes)]
+
+            def outs_of(pol_vals):
+                v = list(vals[:n_in])
+                for k in range(n_pol):
+                    v[k] = pol_vals[k]
+                out = jax.core.eval_jaxpr(closed_jaxpr.jaxpr, cvals, *v)
+                return tuple(out)
+
+            (loss, mret), vjp = jax.vjp(outs_of, vals[:n_pol])
+            grads, = vjp((jnp.ones((), jnp.float32),
+                          jnp.zeros((), jnp.float32)))
+            loss_ref[0, 0] = loss
+            mret_ref[0, 0] = mret
+            for r, g in zip(out_refs, grads):
+                r[:] = g
+
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((1, 1), jnp.float32))
+            + tuple(jax.ShapeDtypeStruct(p.shape, p.dtype)
+                    for p in padded[:n_pol]),
+            in_specs=[vmem] * (n_in + len(consts)),
+            out_specs=(smem, smem) + tuple([vmem] * n_pol),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*padded, *[_pad2(c) for c in consts])
+        loss, mret = outs[0][0, 0], outs[1][0, 0]
+        grads = jax.tree_util.tree_unflatten(
+            pol_tree, [o.reshape(p.shape)
+                       for o, p in zip(outs[2:], pol_flat)])
+        return loss, mret, grads
+
+    return fused_vg
+
+
 def prepare_mm_noise(z, steps, B):
     """Standardize + cyclically pre-roll fixed MM noise to [T, B, zD].
 
