@@ -114,10 +114,20 @@ def main():
         if base is None:
             base = v
         eff = v / (base * n_dev)
-        print(json.dumps({'devices': n_dev,
-                          'particles': B,
-                          'particle_steps_per_s': round(v),
-                          'efficiency': round(eff, 3)}), flush=True)
+        rec = {'devices': n_dev,
+               'particles': B,
+               'particle_steps_per_s': round(v),
+               'efficiency': round(eff, 3)}
+        if 'cpu' in jax.devices()[0].platform.lower():
+            # lead with the caveat so virtual-mesh rows can't be misread as
+            # a scaling claim: N virtual devices share the same physical
+            # cores, so 'efficiency' here only validates that the sharded
+            # program compiles+runs at every mesh size. The informative
+            # multi-chip artifacts are the static collective audit
+            # (results/collective_audit.jsonl) and real-silicon runs.
+            rec = {'caveat': 'virtual CPU mesh — timing NOT a scaling '
+                             'measurement; see collective audit', **rec}
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == '__main__':
