@@ -315,6 +315,8 @@ def run(args, mm_states=False, mm_rewards=False, use_value=False,
                 value_update_fn=value_update,
                 value_state=value_state,
                 val_mask_mode=args.val_mask_mode,
+                fused_rollout={'auto': None, 'on': True,
+                               'off': False}[args.fused_rollout],
                 writer=writer,
                 writer_scope=f'mc_pilco/episode_{ps_it}',
                 verbose=args.debug, mesh=mesh)

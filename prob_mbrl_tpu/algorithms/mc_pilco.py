@@ -520,6 +520,7 @@ def mc_pilco(x0_pool, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
              opt_state=None, optimizer=None, exp=None, opt_iters=1000,
              value_spec=None, value_params=None, value_stats=None,
              value_update_fn=None, value_state=None, val_mask_mode='epoch',
+             fused_rollout=None,
              pegasus=True, mm_states=False, mm_rewards=False, mm_groups=None,
              mm_method='cholesky',
              maximize=True, clip_grad=1.0, cvar_eps=0.0, reg_weight=0.0,
@@ -564,7 +565,8 @@ def mc_pilco(x0_pool, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
         maximize=maximize, clip_grad=clip_grad, cvar_eps=cvar_eps,
         reg_weight=reg_weight, discount=discount,
         resampling_period=resampling_period,
-        with_priorities=prioritized_replay, val_mask_mode=val_mask_mode)
+        with_priorities=prioritized_replay, val_mask_mode=val_mask_mode,
+        fused_rollout=fused_rollout)
     use_value_scan = (value_update_fn is not None and value_state is not None)
     opt_fn = make_mc_pilco_fn(
         dyn, pol, cfg, optimizer, value_spec,

@@ -101,6 +101,15 @@ def get_argument_parser(title=''):
     parser.add_argument('--n_devices', type=int, default=None,
                         help='shard particles over this many devices')
     parser.add_argument('--dtype', type=str, default='float32')
+    parser.add_argument('--fused_rollout', choices=('auto', 'on', 'off'),
+                        default='auto',
+                        help="Pallas fused rollout+backward mega-kernel "
+                             "(ops/pallas/fused_rollout.py). 'auto' (default)"
+                             " = on for supported configs on TPU; 'off' "
+                             "forces the XLA rollout (e.g. if a custom "
+                             "env's reward function fails to lower in "
+                             "Mosaic); 'on' forces it (interpret-mode on "
+                             "CPU — slow, debugging only)")
     parser.add_argument('--mm_method', type=str, default='cholesky',
                         choices=['cholesky', 'experimental_mix'],
                         help="moment-matching kernel: 'cholesky' = "
