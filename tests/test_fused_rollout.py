@@ -166,3 +166,28 @@ class TestMCPILCOFusedIntegration:
             outs[fused] = np.asarray(m['loss'])
         np.testing.assert_allclose(outs[True], outs[False], rtol=1e-3,
                                    atol=1e-6)
+
+
+class TestSupportsGate:
+    def test_gating(self):
+        from prob_mbrl_tpu.algorithms.mc_pilco import MCPILCOConfig
+        e = small_setup()
+        base = dict(mm_states=True, mm_rewards=True)
+        ok = MCPILCOConfig(n_particles=100, steps=15, **base)
+        assert fr.supports(ok, e['dyn'], e['pol'], None, None)
+        # VMEM ceiling: large B*T stays on the XLA path
+        big = MCPILCOConfig(n_particles=4096, steps=15, **base)
+        assert not fr.supports(big, e['dyn'], e['pol'], None, None)
+        # unsupported features fall back
+        for kw in (dict(mm_method='mix'), dict(cvar_eps=0.3),
+                   dict(with_priorities=True), dict(mm_groups=4),
+                   dict(pegasus=False), dict(reg_weight=0.1)):
+            cfg = MCPILCOConfig(n_particles=100, steps=15, **base, **kw)
+            assert not fr.supports(cfg, e['dyn'], e['pol'], None, None), kw
+        # critic refit and meshes not fused
+        assert not fr.supports(ok, e['dyn'], e['pol'], object(), None)
+        assert not fr.supports(ok, e['dyn'], e['pol'], None, object())
+        # learned reward (no analytic fn) unsupported
+        import dataclasses
+        dyn_lr = dataclasses.replace(e['dyn'], reward_func=None)
+        assert not fr.supports(ok, dyn_lr, e['pol'], None, None)
