@@ -87,7 +87,7 @@ def markdown(summary, threshold):
              f'episodes to ≥{threshold} | best collected return |',
              '|---|---|---|---|---|']
     for prefix in ('ref_no_mm', 'tpu_no_mm', 'ref_mm', 'tpu_mm', 'tpu_mix',
-                   'ref_value', 'tpu_value'):
+                   'ref_value', 'tpu_value', 'tpu_double'):
         rows = group_stats(summary, prefix, threshold)
         if not rows:
             continue
