@@ -53,12 +53,16 @@ def summarize(threshold):
         if os.path.exists(curve_file):
             with open(curve_file) as fh:
                 curve = json.load(fh)['curve']
-            means = [float(np.mean(c['returns'])) for c in curve]
+            # nanmean: a replay can diverge physically (e.g. the double
+            # pendulum under extreme torque overflows the integrator);
+            # report the snapshot's finite replays and flag via the log
+            means = [float(np.nanmean(c['returns'])) for c in curve]
             entry['eval_means'] = means
-            entry['best_eval_mean'] = float(np.max(means)) if means else None
+            entry['best_eval_mean'] = (float(np.nanmax(means))
+                                       if means else None)
             entry['episodes_to_threshold'] = episodes_to_threshold(
                 curve, threshold)
-            entry['final5_eval_mean'] = (float(np.mean(means[-5:]))
+            entry['final5_eval_mean'] = (float(np.nanmean(means[-5:]))
                                          if means else None)
         if entry['collection_returns']:
             out[name] = entry
