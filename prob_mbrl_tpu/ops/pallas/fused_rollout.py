@@ -491,12 +491,14 @@ def prepare_mm_noise(z, steps, B):
 
 def supports(cfg, dyn, pol, value_update, mesh):
     """True when the fused kernel covers this MC-PILCO configuration."""
-    # VMEM ceiling: the backward kernel holds ~T*B*(sum of widths)*4B*2 of
-    # linearization residuals on-chip (no HBM spill); beyond ~B*T=16k the
-    # program exceeds a v5e core's VMEM. Larger batches stay on the XLA
-    # path — which is compute-bound there anyway (per-op overhead amortizes
-    # over the big batch; the fused kernel's win is the SMALL-batch regime).
-    if cfg.n_particles * cfg.steps > 16384:
+    # VMEM ceiling: the backward kernel holds its linearization residuals
+    # on-chip (no HBM spill) — measured ~11 KB of VMEM per particle-step
+    # at [200, 200] widths (B=1000, T=15 demanded 167 MB vs the v5e's
+    # 128 MB). Gate at ~68 MB (2x headroom); larger batches stay on the
+    # XLA path, which is compute-bound there anyway (per-op overhead
+    # amortizes over the big batch — the fused kernel's win is the
+    # SMALL-batch latency regime).
+    if cfg.n_particles * cfg.steps > 6144:
         return False
     return (cfg.mm_method == 'cholesky'
             and not cfg.infer_noise_variables
