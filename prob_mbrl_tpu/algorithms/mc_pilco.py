@@ -272,7 +272,10 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
     # cross-device matmul). Explicit ``mm_groups`` always wins.
     mix_groups = cfg.mm_groups
     if use_mix and mix_groups is None and B > MIX_AUTO_GROUP_SIZE:
-        mix_groups = B // MIX_AUTO_GROUP_SIZE
+        # smallest group count that DIVIDES B with group size <= the cap
+        # (B // cap can fail to divide B, e.g. B=1000 -> 3)
+        mix_groups = next(g for g in range(
+            -(-B // MIX_AUTO_GROUP_SIZE), B + 1) if B % g == 0)
         import warnings
         warnings.warn(
             f'mm_method="mix" with {B} particles: auto-grouping the mixing '
