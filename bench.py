@@ -51,8 +51,8 @@ TPU_V5E_PEAK_FLOPS = 197e12
 
 
 def build(n_particles=100, steps=15, hidden=(200, 200), D=5, U=1,
-          compute_dtype=None):
-    density = models.DiagGaussianDensity(D)
+          compute_dtype=None, learn_reward=False):
+    density = models.DiagGaussianDensity(D + 1 if learn_reward else D)
     dyn_mlp = models.MLPSpec(D + U, density.n_inputs, hidden,
                              dropout=models.cdropout(0.1),
                              compute_dtype=compute_dtype)
@@ -64,7 +64,7 @@ def build(n_particles=100, steps=15, hidden=(200, 200), D=5, U=1,
 
     dyn = models.DynamicsModel(
         regressor=models.Regressor(mlp=dyn_mlp, output_density=density),
-        reward_func=reward_func)
+        reward_func=None if learn_reward else reward_func)
     pol_density = models.DiagGaussianDensity(U)
     pol_mlp = models.MLPSpec(D, pol_density.n_inputs, hidden,
                              dropout=models.bdropout(0.1),
@@ -76,14 +76,16 @@ def build(n_particles=100, steps=15, hidden=(200, 200), D=5, U=1,
 
 def measure(n_particles=100, mm_method='cholesky', dtype=None, steps=15,
             iters=200, reps=5, hidden=(200, 200), profile_dir=None,
-            x0_pool_rows=None, unroll=None, iter_unroll=1, fused=None):
+            x0_pool_rows=None, unroll=None, iter_unroll=1, fused=None,
+            mm_groups=None, learn_reward=False, use_value=False):
     """Time the jitted MC-PILCO optimizer.
 
     Returns (rates, flops_per_launch): ``rates`` is the list of
     particle-steps/s over ``reps`` independently timed launches,
     ``flops_per_launch`` an analytic matmul-FLOP estimate.
     """
-    dyn, pol = build(n_particles, steps, hidden, compute_dtype=dtype)
+    dyn, pol = build(n_particles, steps, hidden, compute_dtype=dtype,
+                     learn_reward=learn_reward)
     key = jax.random.PRNGKey(0)
     kd, kp = jax.random.split(key)
     dyn_params = dyn.init(kd)
@@ -94,11 +96,30 @@ def measure(n_particles=100, mm_method='cholesky', dtype=None, steps=15,
     cfg = MCPILCOConfig(n_particles=n_particles, steps=steps,
                         mm_states=mm, mm_rewards=mm,
                         mm_method=(mm_method if mm else 'cholesky'),
+                        mm_groups=mm_groups,
                         rollout_unroll=unroll,
                         iteration_unroll=iter_unroll,
                         fused_rollout=fused)
     optimizer = optax.adam(1e-3)
-    opt = make_mc_pilco_fn(dyn, pol, cfg, optimizer)
+    value_spec = value_update = None
+    value_kwargs = {}
+    if use_value:
+        # the with-value driver's critic config (deep_pilco_common.py):
+        # [200, 200] CDropout MSE critic, TD(H) refit every iteration
+        from prob_mbrl_tpu.algorithms.value import make_value_update_fn
+        v_mlp = models.MLPSpec(5, 1, (200, 200),
+                               dropout=models.cdropout(0.1))
+        value_spec = models.Regressor(mlp=v_mlp)
+        v_opt = optax.adam(1e-4)
+        value_update = make_value_update_fn(value_spec, v_opt, steps,
+                                            use_density=False, polyak=1.0)
+        vp = value_spec.init(jax.random.PRNGKey(7))
+        value_kwargs = dict(value_params=vp,
+                            value_stats=value_spec.init_stats(),
+                            value_target=vp,
+                            value_opt_state=v_opt.init(vp))
+    opt = make_mc_pilco_fn(dyn, pol, cfg, optimizer, value_spec=value_spec,
+                           value_update=value_update)
     opt_state = optimizer.init(pol_params)
     # reference protocol: 100-row x0 pool (BASELINE.md workload); larger
     # particle counts in the sweep scale the pool so sampling stays honest
@@ -114,8 +135,9 @@ def measure(n_particles=100, mm_method='cholesky', dtype=None, steps=15,
     # numbers (BENCH_r02.json and the judge's reruns) were artifacts of
     # timing that unsynchronized first call; the steady-state rates below
     # match the per-iteration microbenchmarks in BASELINE.md.
-    p, s, m, n = opt(pol_params, opt_state, dyn_params, dyn_stats, x0_pool,
-                     jax.random.PRNGKey(2), 0, iters)
+    out = opt(pol_params, opt_state, dyn_params, dyn_stats, x0_pool,
+              jax.random.PRNGKey(2), 0, iters, **value_kwargs)
+    p, s, m, n = out[:4]
     np.asarray(m['loss'])
 
     # Analytic matmul FLOPs per particle-step (XLA's cost_analysis via the
@@ -123,7 +145,8 @@ def measure(n_particles=100, mm_method='cholesky', dtype=None, steps=15,
     # depending on unroll — so the MFU estimate uses the closed form):
     # fwd = 2 * MACs through both MLPs; backward ~= 2x fwd (dgrad + wgrad).
     D, U = 5, 1
-    dims_dyn = (D + U,) + tuple(hidden) + (2 * D,)
+    dims_dyn = (D + U,) + tuple(hidden) + (2 * (D + 1) if learn_reward
+                                           else 2 * D,)
     dims_pol = (D,) + tuple(hidden) + (2 * U,)
     macs = sum(a * b for a, b in zip(dims_dyn[:-1], dims_dyn[1:]))
     macs += sum(a * b for a, b in zip(dims_pol[:-1], dims_pol[1:]))
@@ -137,8 +160,9 @@ def measure(n_particles=100, mm_method='cholesky', dtype=None, steps=15,
                else contextlib.nullcontext())
         with ctx:
             t0 = time.perf_counter()
-            p, s, m, n = opt(p, s, dyn_params, dyn_stats, x0_pool,
-                             jax.random.PRNGKey(3 + r), n, iters)
+            out = opt(p, s, dyn_params, dyn_stats, x0_pool,
+                      jax.random.PRNGKey(3 + r), n, iters, **value_kwargs)
+            p, s, m, n = out[:4]
             jax.block_until_ready(m['loss'])
             dt = time.perf_counter() - t0
         # full fetch between reps keeps the next rep's block honest (and
@@ -184,6 +208,10 @@ def main():
     ap.add_argument('--reps', type=int, default=5)
     ap.add_argument('--sweep', action='store_true',
                     help='measure the whole BASELINE.md table')
+    ap.add_argument('--variants', action='store_true',
+                    help='measure the round-5 widened fused configs: '
+                         'learned reward, with-value, grouped MM, and the '
+                         'B=4096 remat kernel')
     ap.add_argument('--profile', default=None, metavar='DIR',
                     help='capture a jax.profiler trace of one launch')
     ap.add_argument("--unroll", type=int, default=None,
@@ -209,6 +237,29 @@ def main():
                                                       else None))
                     emit(f'mc_pilco_{mm}_B{B}_{dt or "f32"}', rates, mm,
                          fl, args.iters, B)
+        return
+
+    if args.variants:
+        rows = [
+            ('mc_pilco_cholesky_B100_learned_reward',
+             dict(mm_method='cholesky', learn_reward=True)),
+            ('mc_pilco_none_B100_value',
+             dict(mm_method='none', use_value=True)),
+            ('mc_pilco_cholesky_B100_groups10',
+             dict(mm_method='cholesky', mm_groups=10)),
+            ('mc_pilco_cholesky_B4096_remat',
+             dict(mm_method='cholesky', n_particles=4096)),
+            ('mc_pilco_none_B4096_remat',
+             dict(mm_method='none', n_particles=4096)),
+        ]
+        for name, kw in rows:
+            B = kw.pop('n_particles', 100)
+            mm = kw.pop('mm_method')
+            rates, fl = measure(B, mm, iters=args.iters, reps=args.reps,
+                                fused=fused,
+                                x0_pool_rows=(100 if B == 100 else None),
+                                **kw)
+            emit(name, rates, mm, fl, args.iters, B)
         return
 
     x0_rows = 100 if args.particles == 100 else None  # pinned protocol

@@ -127,7 +127,10 @@ class MCPILCOConfig:
     # Fuse the whole rollout + loss (fwd AND bwd) into single Pallas
     # mega-kernels (`ops/pallas/fused_rollout.py`). The headline iteration
     # otherwise lowers to ~1600 leaf HLO ops whose per-op overhead dominates
-    # at small particle counts. None = auto (on when the configuration is
+    # at small particle counts. Covers cholesky-MM / no-MM / grouped MM /
+    # learned rewards / the TD(H) value bootstrap / shard_map meshes
+    # (see fused_rollout.fused_mode); large batches ride a per-step-remat
+    # variant of the same kernel. None = auto (on when the configuration is
     # supported and the backend is a TPU); True forces it (interpret-mode on
     # CPU — slow, for tests); False disables.
     fused_rollout: Optional[bool] = None
@@ -234,7 +237,9 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
 
     # ---- fused Pallas rollout (see MCPILCOConfig.fused_rollout) ----------
     from ..ops.pallas import fused_rollout as _fr
-    _fused_ok = _fr.supports(cfg, dyn, pol, value_update, mesh)
+    _fused_mode = _fr.fused_mode(cfg, dyn, pol, value_update, mesh,
+                                 value_spec)
+    _fused_ok = _fused_mode is not None
     _dev0 = jax.devices()[0]
     _on_tpu = ('tpu' in _dev0.platform.lower()
                or 'TPU' in getattr(_dev0, 'device_kind', ''))
@@ -248,18 +253,30 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
                           'supported by the fused kernel (see '
                           'ops.pallas.fused_rollout.supports); falling back '
                           'to the XLA rollout path.', stacklevel=2)
+    _fr_kwargs = dict(mm_groups=cfg.mm_groups,
+                      value_update=value_update, w_H=w_H,
+                      remat=_fused_mode == 'remat',
+                      interpret=not _on_tpu)
     fused_loss = (_fr.make_fused_loss(dyn, pol, cfg.steps, w_t,
                                       cfg.mm_states, cfg.mm_rewards,
-                                      cfg.maximize,
-                                      interpret=not _on_tpu)
-                  if _use_fused else None)
+                                      cfg.maximize, **_fr_kwargs)
+                  if _use_fused and mesh is None else None)
     # the optimizer iteration consumes loss+grads directly, so it uses the
-    # single-kernel value-and-grad variant (no separate forward launch)
-    fused_vg = (_fr.make_fused_value_and_grad(dyn, pol, cfg.steps, w_t,
-                                              cfg.mm_states, cfg.mm_rewards,
-                                              cfg.maximize,
-                                              interpret=not _on_tpu)
-                if _use_fused else None)
+    # single-kernel value-and-grad variant (no separate forward launch);
+    # under a mesh the same kernel runs per-shard via shard_map with
+    # shard-local MM groups (make_fused_sharded_value_and_grad)
+    if _use_fused and mesh is not None:
+        fused_vg = _fr.make_fused_sharded_value_and_grad(
+            dyn, pol, cfg.steps, w_t, cfg.mm_states, cfg.mm_rewards,
+            cfg.maximize, mesh=mesh, particle_axis=particle_axis,
+            mm_groups=cfg.mm_groups, remat=_fused_mode == 'remat',
+            interpret=not _on_tpu)
+    elif _use_fused:
+        fused_vg = _fr.make_fused_value_and_grad(
+            dyn, pol, cfg.steps, w_t, cfg.mm_states, cfg.mm_rewards,
+            cfg.maximize, **_fr_kwargs)
+    else:
+        fused_vg = None
 
     use_mix = (cfg.mm_method == 'mix' and not cfg.infer_noise_variables)
     # Mixing matrices are [M, M] per group: at large B an ungrouped matrix is
@@ -297,15 +314,17 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         else:
             z_mm = jax.random.normal(kz1, (B, D))
             z_rr = jax.random.normal(kz2, (B, 1))
-            if fused_loss is not None:
-                # per-epoch hoisting for the fused kernel: standardize +
-                # cyclically pre-roll ONCE per noise epoch instead of per
-                # iteration (`utils/rollout.py:213-221` hoisting, moved one
-                # level further out)
-                z_mm = (_fr.prepare_mm_noise(z_mm, cfg.steps, B)
+            if _use_fused:
+                # per-epoch hoisting for the fused kernel: standardize
+                # (per group when grouped) + cyclically pre-roll ONCE per
+                # noise epoch instead of per iteration
+                # (`utils/rollout.py:213-221` hoisting, moved one level out)
+                z_mm = (_fr.prepare_mm_noise(z_mm, cfg.steps, B,
+                                             cfg.mm_groups)
                         if cfg.mm_states
                         else jnp.zeros((cfg.steps, B, D), z_mm.dtype))
-                z_rr = (_fr.prepare_mm_noise(z_rr, cfg.steps, B)
+                z_rr = (_fr.prepare_mm_noise(z_rr, cfg.steps, B,
+                                             cfg.mm_groups)
                         if cfg.mm_rewards
                         else jnp.zeros((cfg.steps, B, 1), z_rr.dtype))
         value_noise = (value_spec.sample_noise(kv, (B,))
@@ -331,9 +350,16 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
             # single-kernel fwd + single-kernel bwd; z_mm/z_rr arrive as the
             # per-epoch-hoisted [T, B, zD] standardized+rolled stacks (see
             # sample_all_noise)
-            loss, mean_return = fused_loss(
+            extras = ()
+            if value_update is not None:
+                v_p, v_t, v_o = value_carry
+                extras = (v_p, v_t, v_o, value_stats, value_noise)
+            loss, mean_return, v_aux = fused_loss(
                 pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
-                z_mm, z_rr, action_eps)
+                z_mm, z_rr, action_eps, extras)
+            if value_update is not None:
+                value_carry = v_aux[:3]
+                return loss, (mean_return, value_carry, v_aux[3])
             return loss, (mean_return, value_carry, jnp.zeros(()))
 
         traj = rollout_fn(
@@ -418,12 +444,22 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         action_eps = constrain_time_particles(
             jnp.zeros((cfg.steps, B) + (pol_action_dims,)))
         if fused_vg is not None:
-            # single kernel: loss + mean_return + grads in one launch
-            dyn_noise, pol_noise, _, z_mm_t, z_rr_t = noise
-            loss, mean_return, g_pol = fused_vg(
+            # single kernel: loss + mean_return + grads (+ TD(H) critic
+            # refit when value_update) in one launch
+            dyn_noise, pol_noise, value_noise, z_mm_t, z_rr_t = noise
+            extras = ()
+            if value_update is not None:
+                v_p, v_t, v_o = value_carry
+                extras = (v_p, v_t, v_o, value_stats, value_noise)
+            loss, mean_return, g_pol, v_aux = fused_vg(
                 pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
-                z_mm_t, z_rr_t, action_eps)
-            aux = (mean_return, value_carry, jnp.zeros(()))
+                z_mm_t, z_rr_t, action_eps, extras)
+            if value_update is not None:
+                value_carry = v_aux[:3]
+                v_loss = v_aux[3]
+            else:
+                v_loss = jnp.zeros(())
+            aux = (mean_return, value_carry, v_loss)
             scores = jnp.zeros((G,))
         elif cfg.with_priorities:
             (loss, aux), (g_pol, g_eps) = jax.value_and_grad(

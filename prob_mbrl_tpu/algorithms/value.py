@@ -75,6 +75,22 @@ def make_value_update_fn(V, optimizer, H, discount=None, reg_weight=1e-4,
             loss = jnp.mean((V0 - targets) ** 2)
         return loss + reg_weight * V.regularization_loss(params)
 
+    def core(params, target_params, opt_state, stats, s0, sH, returns,
+             noise):
+        """One TD(H) update from precomputed (s0, sH, returns).
+
+        Pure-jnp core shared by :func:`update` (which slices them out of a
+        trajectory stack) and the fused Pallas rollout kernel (which has
+        s0/sH/returns in registers already and traces this exact update
+        INSIDE the kernel body — `ops/pallas/fused_rollout.py`).
+        """
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, target_params, stats, s0, sH, returns, noise)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        target_params = polyak_averaging(params, target_params, polyak)
+        return params, target_params, opt_state, loss
+
     @jax.jit
     def update(params, target_params, opt_state, stats, states, rewards,
                key=None, noise=None):
@@ -96,13 +112,17 @@ def make_value_update_fn(V, optimizer, H, discount=None, reg_weight=1e-4,
                     'per update) or noise= (caller-provided frozen masks); '
                     'both were None')
             noise = V.sample_noise(key, (s0.shape[0],))
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, target_params, stats, s0, sH, returns, noise)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        target_params = polyak_averaging(params, target_params, polyak)
-        return params, target_params, opt_state, loss
+        return core(params, target_params, opt_state, stats, s0, sH,
+                    returns, noise)
 
+    # attributes the fused rollout kernel needs to trace the SAME update
+    # in-kernel (see ops/pallas/fused_rollout.py): the pure core, the
+    # critic spec, and the TD(H) discount weights for the returns sum
+    update.core = core
+    update.spec = V
+    update.H = H
+    update.w_t = w_t
+    update.w_H = w_H
     return update
 
 

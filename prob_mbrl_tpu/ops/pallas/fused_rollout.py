@@ -11,24 +11,35 @@ and the backward pass is a SECOND single kernel that recomputes the forward
 and applies reverse-mode AD *inside* the kernel (``jax.vjp`` of the same jnp
 step code, traced into the kernel body — no residual traffic through HBM).
 
+Round-5 widening: the kernel now covers the full algorithm surface of the
+reference drivers — learned rewards (reward = one more density output,
+`prob_mbrl/models/core.py:290-296`), the TD(H) critic refit + terminal value
+bootstrap (`mc_pilco.py:137-140`, traced in-kernel including its optax
+update), grouped moment matching (`rollout.py:125-145`, block-diagonal
+packed cholesky), and multi-device meshes (``shard_map`` over the particle
+axis with shard-local groups — see :func:`make_fused_sharded_value_and_grad`).
+
 Reuse strategy: the kernel body calls the real building blocks
-(``Policy.apply``, ``DynamicsModel.apply``, the reward closure) so semantics
-stay pinned to the XLA path; ``jax.closure_convert`` extracts every captured
-constant (numpy masks, action-bound scales, ...) into explicit kernel inputs.
-Only the moment-matching resample is re-expressed here in mask-and-reduce
-form (`_mm_resample_kf` / `_safe_cholesky_kf`): the slice/argmax/take
-patterns of `ops.math.safe_cholesky` have autodiff adjoints Mosaic cannot
-lower ("Offset change" on offset-vector reductions), while one-hot
-mask-multiply-reduce formulations lower cleanly in both directions. Parity
-with the reference kernels is asserted in tests/test_fused_rollout.py.
+(``Policy.apply``, ``DynamicsModel.apply``, the reward closure, the critic
+update core from ``algorithms.value``) so semantics stay pinned to the XLA
+path; the jaxpr-consts machinery extracts every captured constant (numpy
+masks, action-bound scales, ...) into explicit kernel inputs. Only the
+moment-matching resample is re-expressed here in mask-and-reduce form
+(`_mm_resample_kf` / `_safe_cholesky_kf` / the grouped variants): the
+slice/argmax/take patterns of `ops.math.safe_cholesky` have autodiff
+adjoints Mosaic cannot lower ("Offset change" on offset-vector reductions),
+while one-hot mask-multiply-reduce formulations lower cleanly in both
+directions. Parity with the reference kernels is asserted in
+tests/test_fused_rollout.py.
 
 Semantics matched (see `utils/rollout.py:130-311`, reference
 `prob_mbrl/utils/rollout.py:93-153`): PEGASUS pinned noise, rewards evaluated
 on PRE-state-MM next states, per-step cyclically-rolled standardized MM
-noise, discounted mean-return loss (`algorithms/mc_pilco.py` loss_fn).
-Supported configuration (gated by :func:`supports`): cholesky-MM or no-MM,
-known analytic reward, ungrouped, PEGASUS, no CVaR/value/priorities/mesh.
+noise (per-group standardized when grouped), discounted mean-return loss
+(`algorithms/mc_pilco.py` loss_fn). Configurations outside the gate
+(:func:`supports`) fall back to the XLA rollout path.
 """
+import dataclasses
 import functools
 
 import jax
@@ -103,7 +114,8 @@ def _packed_try_consts(D, max_tries, jitters):
     return P, C, C.T.copy(), eye_t, jit_r
 
 
-def _safe_cholesky_kf(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
+def _safe_cholesky_kf(S, initial_jitter=1e-12, max_tries=8, factor=100.0,
+                      cache=None):
     """`ops.math.safe_cholesky` semantics with a Mosaic-friendly layout.
 
     The original's ``argmax(ok)`` + ``jnp.take`` jitter select has no Mosaic
@@ -134,12 +146,18 @@ def _safe_cholesky_kf(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
         jnp.mean(jnp.abs(diag), keepdims=True) + 1e-30)     # [1, 1]
     tol = 1e-5 * jnp.sqrt(scale)
 
-    P, C, CT, eye_t, jit_r = _packed_try_consts(D, G, jitters)
-    P = jnp.asarray(P)
-    C = jnp.asarray(C)
-    CT = jnp.asarray(CT)
-    eye_t = jnp.asarray(eye_t)
-    jit_r = jnp.asarray(jit_r)
+    key = ('packed', D, G, float(initial_jitter), float(factor))
+    if cache is None or key not in cache:
+        Pn, Cn, CTn, eye_tn, jit_rn = _packed_try_consts(D, G, jitters)
+        consts = dict(P=jnp.asarray(Pn), C=jnp.asarray(Cn),
+                      CT=jnp.asarray(CTn), eye_t=jnp.asarray(eye_tn),
+                      jit_r=jnp.asarray(jit_rn))
+        if cache is not None:
+            cache[key] = consts
+    else:
+        consts = cache[key]
+    P, C, CT, eye_t, jit_r = (consts['P'], consts['C'], consts['CT'],
+                              consts['eye_t'], consts['jit_r'])
 
     A = jnp.tile(S, (G, 1)) + (jit_r * scale) * eye_t       # [GD, D]
     c = jax.lax.broadcasted_iota(jnp.int32, (G * D, D), 1)
@@ -185,66 +203,416 @@ def _safe_cholesky_kf(S, initial_jitter=1e-12, max_tries=8, factor=100.0):
     return jnp.where(all_bad > 0, jnp.asarray(np.nan, S.dtype), L_sel)
 
 
-def _mm_resample_kf(x, z_std):
+def _mm_resample_kf(x, z_std, cache=None):
     """`ops.moment_matching.mm_resample` (ungrouped, pre-standardized z).
 
     m + z @ L^T via dot_general contracting on L's LAST axis — no transpose
-    op (Mosaic transposes of tiny tiles are avoidable here).
+    op (Mosaic transposes of tiny tiles are avoidable here). ``cache``
+    (optional) supplies pre-built escalation constants so re-traces under
+    the in-kernel checkpoint reuse hoisted kernel operands instead of
+    materializing new captured constants (pallas_call rejects those).
     """
     B = x.shape[0]
     m = jnp.mean(x, 0, keepdims=True)
     d = x - m
     S = jax.lax.dot_general(d, d, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) / (B - 1)
-    L = _safe_cholesky_kf(S)
+    L = _safe_cholesky_kf(S, cache=cache)
     z = jax.lax.stop_gradient(z_std)
     return m + jax.lax.dot_general(z, L, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
+# Grouped moment matching (`rollout.py:125-145`): block-diagonal packing
+# ---------------------------------------------------------------------------
+
+def _grouped_consts(B, D, G, cache):
+    """Per-trace jnp constants for grouped MM (memoized so T rollout steps
+    share ONE copy of each mask instead of embedding T duplicates as kernel
+    operands)."""
+    key = ('grouped', B, D, G)
+    if key not in cache:
+        Bg = B // G
+        GD = G * D
+        gi = np.repeat(np.arange(G), Bg)                     # particle->group
+        blk = np.repeat(np.arange(G), D)                     # packed row->grp
+        GI = (np.arange(G)[:, None] == gi[None, :]).astype(np.float32)
+        IND = (blk[:, None] == gi[None, :]).astype(np.float32)   # [GD, B]
+        cache[key] = dict(
+            GI=jnp.asarray(GI),                              # [G, B]
+            IND=jnp.asarray(IND),                            # [GD, B]
+            Bm=jnp.asarray(IND.T.copy()),                    # [B, GD]
+            TileD=jnp.asarray(np.tile(np.eye(D, dtype=np.float32),
+                                      (G, 1))),              # [GD, D]
+            C=jnp.asarray((np.arange(GD)[:, None] % D ==
+                           np.arange(D)[None, :]).astype(np.float32)),
+            P=jnp.asarray((blk[:, None] == blk[None, :]).astype(np.float32)),
+        )
+    return cache[key]
+
+
+def _chol_consts(D, G, cache):
+    """Constants for the grouped packed cholesky (memoized in ``cache``)."""
+    key = ('chol', D, G)
+    if key not in cache:
+        GD = G * D
+        blk = np.repeat(np.arange(G), D)
+        cache[key] = dict(
+            P=jnp.asarray((blk[:, None] == blk[None, :]).astype(np.float32)),
+            C=jnp.asarray((np.arange(GD)[:, None] % D ==
+                           np.arange(D)[None, :]).astype(np.float32)),
+            eye_t=jnp.asarray(np.tile(np.eye(D, dtype=np.float32), (G, 1))),
+        )
+    return cache[key]
+
+
+def _grouped_block_cholesky(A, eye_t, P, C, tol_sq):
+    """One packed [G*D, D] cholesky over G independent D-blocks.
+
+    Same mask-and-reduce machinery as :func:`_safe_cholesky_kf`'s packed
+    escalation, reused with blocks = GROUPS instead of blocks = jitter
+    tries. Returns (L, bad) with ``bad`` [G*D, 1] counting failed pivots,
+    block-broadcast.
+    """
+    D = A.shape[-1]
+    GD = A.shape[0]
+    c = jax.lax.broadcasted_iota(jnp.int32, (GD, D), 1)
+    r_loc = jax.lax.broadcasted_iota(jnp.int32, (GD, 1), 0) % D
+    bad = jnp.zeros((GD, 1), A.dtype)
+    L = jnp.zeros_like(A)
+    for j in range(D):
+        colmask = (c == j).astype(A.dtype)
+        piv_at = jnp.sum(A * eye_t * colmask, -1, keepdims=True)
+        piv_sq = jnp.dot(P, piv_at, preferred_element_type=jnp.float32)
+        bad = bad + (piv_sq <= tol_sq).astype(A.dtype)
+        piv = jnp.sqrt(jnp.maximum(piv_sq, 1e-30))
+        colv = jnp.sum(A * colmask, -1, keepdims=True)
+        col = jnp.clip(colv / piv, -1e18, 1e18) \
+            * (r_loc >= j).astype(A.dtype)
+        L = L + col * colmask
+        if j + 1 < D:
+            O = jax.lax.dot_general(col, col, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            A = A - jnp.dot(O * P, C, preferred_element_type=jnp.float32)
+    return L, bad
+
+
+def _cholpack_consts(D, G, max_tries, jitters, cache):
+    """Constants for the tries x groups packed escalation ([Tr*G*D, D])."""
+    key = ('cholpack', D, G, max_tries)
+    if key not in cache:
+        GD = G * D
+        N = max_tries * GD
+        blk = np.repeat(np.arange(max_tries * G), D)     # packed row -> blk
+        TileT = np.zeros((N, GD), np.float32)            # replicate per try
+        TileT[np.arange(N), np.arange(N) % GD] = 1.0
+        Sel = np.zeros((max_tries, GD, N), np.float32)   # extract try t
+        for t in range(max_tries):
+            Sel[t, np.arange(GD), t * GD + np.arange(GD)] = 1.0
+        cache[key] = dict(
+            P=jnp.asarray((blk[:, None] == blk[None, :]).astype(np.float32)),
+            C=jnp.asarray((np.arange(N)[:, None] % D ==
+                           np.arange(D)[None, :]).astype(np.float32)),
+            eye_t=jnp.asarray(np.tile(np.eye(D, dtype=np.float32),
+                                      (max_tries * G, 1))),
+            TileT=jnp.asarray(TileT),
+            jit=jnp.asarray(np.asarray(jitters, np.float32)
+                            .repeat(GD)[:, None]),       # [N, 1], try-major
+            Sel=[jnp.asarray(Sel[t]) for t in range(max_tries)],
+            SelSum=jnp.asarray(Sel.sum(0)),
+        )
+    return cache[key]
+
+
+def _safe_cholesky_grouped(S, n_groups, cache, initial_jitter=1e-12,
+                           max_tries=8, factor=100.0):
+    """Per-group ``safe_cholesky`` over G packed D-blocks ([G*D, D]).
+
+    ALL ``max_tries`` jitter attempts of ALL groups factor in ONE packed
+    [Tr*G*D, D] block-cholesky pass (blocks = try x group). A sequential
+    Python loop over tries instead produced ~8x the vector temporaries and
+    blew Mosaic's register-allocator spill budget (149 MB of spill slots at
+    G=10 vs the 128 MB VMEM). Per-group first-ok selection = per-group
+    min over the ok tries' jitters (jitters increase), extracted by
+    constant selector matmuls; selection masks are stop_gradient, the
+    selected try's factor is differentiable w.r.t. S, and groups where
+    every attempt fails are NaN-poisoned — exactly
+    :func:`_safe_cholesky_kf`'s semantics, per group.
+    """
+    D = S.shape[-1]
+    G = n_groups
+    jitters = [float(initial_jitter * factor ** i) for i in range(max_tries)]
+    gs = _chol_consts(D, G, cache)
+    cs = _cholpack_consts(D, G, max_tries, jitters, cache)
+    dtype = S.dtype
+    diag = jnp.sum(S * gs['eye_t'], -1, keepdims=True)       # [GD, 1]
+    # per-group mean |diag| (the scale ops.safe_cholesky derives per matrix)
+    scale = jax.lax.stop_gradient(
+        jnp.dot(gs['P'], jnp.abs(diag),
+                preferred_element_type=jnp.float32) / D
+        + 1e-30)                                             # [GD, 1]
+    tol = 1e-5 * jnp.sqrt(scale)
+    TileT = cs['TileT']
+    scale_big = jnp.dot(TileT, scale, preferred_element_type=jnp.float32)
+    tol_big = jnp.dot(TileT, tol, preferred_element_type=jnp.float32)
+    A = jnp.dot(TileT, S, preferred_element_type=jnp.float32) \
+        + (cs['jit'] * scale_big) * cs['eye_t']              # [TrGD, D]
+    L, bad = _grouped_block_cholesky(A, cs['eye_t'], cs['P'], cs['C'],
+                                     tol_big * tol_big)
+    bad_blk = jnp.dot(cs['P'], bad, preferred_element_type=jnp.float32)
+    BIG = jnp.asarray(3e38, dtype)
+    cand = jnp.where(bad_blk > 0, BIG, cs['jit'])            # [TrGD, 1]
+    # per-group min over tries: elementwise min of the Tr extracted slices
+    m_g = jnp.dot(cs['Sel'][0], cand, preferred_element_type=jnp.float32)
+    for t in range(1, max_tries):
+        m_g = jnp.minimum(m_g, jnp.dot(cs['Sel'][t], cand,
+                                       preferred_element_type=jnp.float32))
+    all_bad = (m_g >= BIG)                                   # [GD, 1]
+    sel_big = jnp.dot(TileT, m_g, preferred_element_type=jnp.float32)
+    w = jax.lax.stop_gradient(
+        ((cs['jit'] == sel_big) & (bad_blk == 0)).astype(dtype))
+    L_sel = jnp.dot(cs['SelSum'], L * w,
+                    preferred_element_type=jnp.float32)      # [GD, D]
+    return jnp.where(all_bad, jnp.asarray(np.nan, dtype), L_sel)
+
+
+def _mm_resample_grouped_kf(x, z_std, n_groups, cache):
+    """Grouped `mm_resample` (contiguous particle blocks), all-matmul form.
+
+    Parity target: ``ops.moment_matching.grouped(mm_resample, x, z, G)``
+    (`rollout.py:125-145`) with ``z_std`` already per-group standardized
+    (see :func:`prepare_mm_noise`). Per-group means/covariances and the
+    per-particle group gather are expressed as matmuls against constant
+    indicator matrices — no 3-D arrays, no gathers (Mosaic constraints).
+    """
+    B, D = x.shape
+    G = n_groups
+    Bg = B // G
+    cs = _grouped_consts(B, D, G, cache)
+    GI, IND, Bm, TileD, C = (cs['GI'], cs['IND'], cs['Bm'], cs['TileD'],
+                             cs['C'])
+    m_g = jnp.dot(GI, x, preferred_element_type=jnp.float32) / Bg  # [G, D]
+    # per-particle group mean: GI^T @ m_g (contract GI's group axis)
+    mu = jax.lax.dot_general(GI, m_g, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # [B, D]
+    d = x - mu
+    # packed per-group covariance: rows g*D+i hold sum_b d[b,i] d[b,:] over
+    # the group's particles. TileD @ d^T tiles d's transpose per group
+    # (dot_general, no transpose op); IND masks to own-group particles.
+    Dt = jax.lax.dot_general(TileD, d, (((1,), (1,)), ((), ())))   # [GD, B]
+    S = jnp.dot(Dt * IND, d,
+                preferred_element_type=jnp.float32) / (Bg - 1)     # [GD, D]
+    L = _safe_cholesky_grouped(S, G, cache)
+    z = jax.lax.stop_gradient(z_std)
+    # y[b, :] = z[b] @ L_g(b)^T: compute against ALL groups ([B, GD]), mask
+    # to the particle's own block, collapse global->local columns via C
+    A = jax.lax.dot_general(z, L, (((1,), (1,)), ((), ())))        # [B, GD]
+    y = jnp.dot(A * Bm, C, preferred_element_type=jnp.float32)     # [B, D]
+    return mu + y
+
+
+def _inline_checkpoint(fn):
+    """Manual gradient checkpointing that lowers inside Pallas kernels.
+
+    ``jax.checkpoint``'s ``remat2`` primitive has no Mosaic lowering
+    ("Unimplemented primitive in Pallas TPU lowering: remat2"), so remat
+    inside the kernel body is expressed as a ``custom_vjp`` whose residuals
+    are exactly the primal INPUTS and whose bwd rule re-binds the forward:
+    after AD the jaxpr contains only plain ops (the recompute inlined next
+    to its consumers), which Mosaic lowers — and the kernel's liveness
+    window for the function's internals shrinks from
+    forward-until-backward to just the recompute region.
+
+    The function is traced to a jaxpr ONCE, at the outer (impl) trace, and
+    everything it captures — closure tracers AND the constants its library
+    calls materialize (action-bound scales, density clamps, MM indicator
+    masks) — is promoted from jaxpr consts to EXPLICIT custom_vjp inputs.
+    A naive ``bwd = lambda args, g: jax.vjp(fn, *args)(g)`` would instead
+    re-run the Python at kernel-AD time and mint fresh array constants
+    inside the kernel trace, which ``pallas_call`` rejects ("captures
+    constants ... pass them as inputs").
+    """
+    def wrapper(*args):
+        flat, in_tree = jax.tree_util.tree_flatten(args)
+
+        def fn_flat(*leaves):
+            return fn(*jax.tree_util.tree_unflatten(in_tree, leaves))
+
+        closed, out_shape = jax.make_jaxpr(fn_flat,
+                                           return_shape=True)(*flat)
+        _, out_tree = jax.tree_util.tree_flatten(out_shape)
+        consts = list(closed.consts)
+
+        def call(consts, *leaves):
+            return tuple(jax.core.eval_jaxpr(closed.jaxpr, consts,
+                                             *leaves))
+
+        @jax.custom_vjp
+        def f(consts, *leaves):
+            return call(consts, *leaves)
+
+        def fwd(consts, *leaves):
+            return call(consts, *leaves), (consts, leaves)
+
+        def bwd(res, g):
+            consts, leaves = res
+            _, vjp = jax.vjp(call, consts, *leaves)
+            return vjp(tuple(g))
+
+        f.defvjp(fwd, bwd)
+        out_flat = f(consts, *flat)
+        return jax.tree_util.tree_unflatten(out_tree, list(out_flat))
+
+    return wrapper
+
+
+# ---------------------------------------------------------------------------
 # The fused loss implementation (plain jnp — shared by kernel + parity tests)
 # ---------------------------------------------------------------------------
 
-def make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize):
+def make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
+                   mm_groups=None, value_update=None, w_H=None,
+                   remat=False):
     """Build ``impl(pol_params, x0, dyn_params, dyn_stats, dyn_noise,
-    pol_noise, z_mm_t, z_rr_t, action_eps) -> (loss, mean_return)``.
+    pol_noise, z_mm_t, z_rr_t, action_eps, extras) -> (loss, mean_return,
+    aux)``.
 
     ``z_mm_t`` / ``z_rr_t`` are the per-step standardized+cyclically-rolled
     noise stacks ([T, B, D] / [T, B, 1]) the caller prepares once per
-    iteration (same hoisting as `utils/rollout.py:213-221`). ``w_t`` is the
-    numpy discount-weight vector from ``discount_weights``.
+    iteration (same hoisting as `utils/rollout.py:213-221`; per-GROUP
+    standardized when ``mm_groups``). ``w_t`` is the numpy discount-weight
+    vector from ``discount_weights``.
+
+    Learned rewards (``dyn.reward_func is None``): the density head's last
+    output dim is the reward (`prob_mbrl/models/core.py:290-296`).
+
+    Value bootstrap (``value_update`` from ``make_value_update_fn`` with its
+    ``.core`` attribute): the TD(H) critic refit runs IN-KERNEL on the
+    (stop-gradient) trajectory — including its optax update and polyak
+    target — and the freshly-updated critic evaluates the terminal
+    bootstrap ``w_H * V(s_T)`` added to the discounted return, exactly the
+    XLA path's ordering (`mc_pilco.py:120-140`,
+    `deep_pilco_no_mm_with_value.py:380-400`). ``extras`` then carries
+    ``(v_params, v_target, v_opt_state, v_stats, v_noise)`` and ``aux``
+    returns ``(v_params', v_target', v_opt_state', v_loss)``; otherwise
+    both are ``()``.
     """
     w_list = [float(w) for w in np.asarray(w_t)]
+    learn_reward = dyn.reward_func is None
+    if value_update is not None:
+        v_wlist = [float(w) for w in np.asarray(value_update.w_t)]
+        v_H = value_update.H
+        V = value_update.spec
 
     def impl(pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
-             z_mm_t, z_rr_t, action_eps):
+             z_mm_t, z_rr_t, action_eps, extras=()):
         states = x0
         B = x0.shape[0]
+        sg = jax.lax.stop_gradient
+        # Pre-populate ALL mask/indicator constants the MM kernels need and
+        # thread the cache THROUGH the checkpoint boundaries as an explicit
+        # pytree argument: _inline_checkpoint's bwd re-traces the function
+        # inside the kernel trace, and any constant materialized there would
+        # be a captured kernel constant, which pallas_call rejects ("You
+        # should pass them as inputs"). As args, the constants flow through
+        # the hoisted-consts machinery once and are reused by the re-trace.
+        cache = {}
+        if mm_states or mm_rewards:
+            dims = ([x0.shape[-1]] if mm_states else []) \
+                + ([1] if mm_rewards else [])
+            for d_ in dims:
+                if mm_groups:
+                    _grouped_consts(B, d_, mm_groups, cache)
+                    _chol_consts(d_, mm_groups, cache)
+                else:
+                    _safe_cholesky_kf(jnp.zeros((d_, d_)), cache=cache)
         # accumulators stay [B, 1]: Mosaic rejects 1-D vector layouts
         disc = jnp.zeros((B, 1), x0.dtype)
         raw = jnp.zeros((B, 1), x0.dtype)
-        for t in range(steps):
+        vret = jnp.zeros((B, 1), x0.dtype)
+        sH = None
+
+        def resample(v, z, cache):
+            if mm_groups:
+                return _mm_resample_grouped_kf(v, z, mm_groups, cache)
+            return _mm_resample_kf(v, z, cache)
+
+        if mm_groups:
+            # rematerialize the grouped escalation in the backward pass:
+            # its per-column intermediates are [G*D, D]-shaped, which
+            # Mosaic lane-pads ~100x ([50, 5] -> [56, 128] tiles) — storing
+            # them as residuals for 8 tries x D columns x 2T resample sites
+            # spilled 149 MB of VMEM at G=10. Recomputing the tiny
+            # factorization (a few kFLOPs) during backward keeps only the
+            # resample inputs live.
+            resample = _inline_checkpoint(resample)
+
+        def one_step(pol_params, states, z_mm_s, z_rr_s, eps_s, cache):
             acts = pol.apply(pol_params, states, pol_noise,
                              return_samples=True)
-            if action_eps is not None:
-                acts = acts + action_eps[t]
-            nxt = dyn.apply(dyn_params, dyn_stats, states, acts, dyn_noise,
-                            return_samples=True, separate_outputs=True,
-                            deltas=False, with_rewards=False)
-            # rewards on the PRE-state-MM next states (`rollout.py:229-230`)
-            r = dyn.reward_func(nxt, acts)
+            if eps_s is not None:
+                acts = acts + eps_s
+            if learn_reward:
+                # reward = last density output dim (`core.py:297-303`)
+                nxt, r = dyn.apply(dyn_params, dyn_stats, states, acts,
+                                   dyn_noise, return_samples=True,
+                                   separate_outputs=True, deltas=False)
+            else:
+                nxt = dyn.apply(dyn_params, dyn_stats, states, acts,
+                                dyn_noise, return_samples=True,
+                                separate_outputs=True, deltas=False,
+                                with_rewards=False)
+                # rewards on the PRE-state-MM next states (`rollout.py:229`)
+                r = dyn.reward_func(nxt, acts)
             if mm_states:
-                nxt = _mm_resample_kf(nxt, z_mm_t[t])
+                nxt = resample(nxt, z_mm_s, cache)
             if mm_rewards:
-                r = _mm_resample_kf(r, z_rr_t[t])
+                r = resample(r, z_rr_s, cache)
+            return nxt, r
+
+        if remat:
+            # gradient checkpointing INSIDE the kernel: the backward
+            # recomputes each step's activations from its boundary state
+            # instead of holding all T steps' residuals in VMEM at once —
+            # in-kernel VMEM drops ~T-fold, which is what admits the
+            # compute-bound large-B configs (B=4096) into the single-kernel
+            # regime. Costs one extra forward pass (the standard remat
+            # trade); the small-B latency-bound headline keeps remat off.
+            # pol_params is an explicit arg: _inline_checkpoint's
+            # custom_vjp would treat a closed-over pol_params as constant
+            # and silently drop the policy gradient.
+            one_step = _inline_checkpoint(one_step)
+
+        for t in range(steps):
+            nxt, r = one_step(pol_params, states, z_mm_t[t], z_rr_t[t],
+                              action_eps[t] if action_eps is not None
+                              else None, cache)
             disc = disc + w_list[t] * r
             raw = raw + r
+            if value_update is not None and t < v_H:
+                vret = vret + v_wlist[t] * r
             states = nxt
+            if value_update is not None and t + 1 == v_H:
+                sH = states
+
+        aux = ()
+        if value_update is not None:
+            v_params, v_tgt, v_opt, v_stats, v_noise = extras
+            vp2, vt2, vo2, v_loss = value_update.core(
+                v_params, v_tgt, v_opt, v_stats, sg(x0), sg(sH), sg(vret),
+                v_noise)
+            # terminal bootstrap under the refit critic (params detached,
+            # differentiable through the final states — `mc_pilco.py:137`)
+            v_end = V.apply(jax.tree_util.tree_map(sg, vp2), v_stats,
+                            states, v_noise, return_samples=True)
+            disc = disc + float(w_H) * v_end
+            aux = (vp2, vt2, vo2, v_loss)
+
         loss = jnp.mean(disc)
         if maximize:
             loss = -loss
-        return loss, jnp.mean(raw)
+        return loss, jnp.mean(raw), aux
 
     return impl
 
@@ -258,132 +626,171 @@ def _pad2(x):
     return x.reshape((1,) * max(0, 2 - x.ndim) + x.shape)
 
 
+def _pad2_shape(shape):
+    return (1,) * max(0, 2 - len(shape)) + tuple(shape)
+
+
+def _write(ref, val):
+    """Write a (possibly 0-/1-D) value into its 2-D-padded output ref."""
+    if val.ndim == 0:
+        ref[0, 0] = val
+    else:
+        ref[:] = val.reshape(ref.shape)
+
+
+def _norm_args(args):
+    """Accept the legacy 9-arg call (no extras) by appending ``()``."""
+    if len(args) == 9:
+        args = tuple(args) + ((),)
+    return tuple(args)
+
+
+def _trace_closed(impl, args):
+    """Trace impl to a jaxpr; its consts become explicit kernel inputs.
+
+    ``jax.closure_convert`` leaves some closed-over arrays inline (the
+    analytic-reward constants re-materialize at kernel-trace time), so
+    hoist ALL constvars explicitly: trace once with make_jaxpr, ship
+    ``jaxpr.consts`` as kernel operands, and re-bind the primitives
+    inside the kernel with ``eval_jaxpr`` — guaranteed capture-free.
+    Returns (closed, padded_inputs, consts, out_leaves, out_tree).
+    """
+    flat, in_tree = jax.tree_util.tree_flatten(args)
+    shapes = [a.shape for a in flat]
+
+    def impl_flat(*leaves):
+        leaves = [lv.reshape(s) for lv, s in zip(leaves, shapes)]
+        return impl(*jax.tree_util.tree_unflatten(in_tree, leaves))
+
+    padded = [_pad2(jnp.asarray(a)) for a in flat]
+    closed_jaxpr, out_shape = jax.make_jaxpr(
+        impl_flat, return_shape=True)(*padded)
+    consts = [jnp.asarray(c) for c in closed_jaxpr.consts]
+    const_shapes = [c.shape for c in consts]
+    n_args = len(padded)
+    out_leaves, out_tree = jax.tree_util.tree_flatten(out_shape)
+
+    def closed(*vals_and_consts):
+        # operands arrive 2-D-padded (Mosaic constraint); restore the
+        # consts' traced shapes before re-binding the jaxpr
+        vals = vals_and_consts[:n_args]
+        cvals = [c.reshape(s) for c, s in
+                 zip(vals_and_consts[n_args:], const_shapes)]
+        out = jax.core.eval_jaxpr(closed_jaxpr.jaxpr, cvals, *vals)
+        return tuple(out)
+
+    return closed, padded, consts, out_leaves, out_tree
+
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
 def make_fused_loss(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
-                    interpret=False):
-    """Build the pallas-fused (loss, mean_return) function with custom VJP.
+                    mm_groups=None, value_update=None, w_H=None,
+                    remat=False, interpret=False):
+    """Build the pallas-fused (loss, mean_return, aux) function, custom VJP.
 
     Returns ``fused(pol_params, x0, dyn_params, dyn_stats, dyn_noise,
-    pol_noise, z_mm_t, z_rr_t, action_eps)``; differentiable w.r.t.
-    ``pol_params`` and ``action_eps`` only (all other cotangents are zeros —
-    exactly the arguments `algorithms/mc_pilco.py`'s loss differentiates).
+    pol_noise, z_mm_t, z_rr_t, action_eps[, extras])``; differentiable
+    w.r.t. ``pol_params`` and ``action_eps`` only, through BOTH the loss and
+    mean_return outputs (all other cotangents are zeros — exactly the
+    arguments `algorithms/mc_pilco.py`'s loss differentiates). ``aux``
+    (the value-update outputs) is non-differentiable.
     """
     impl = make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards,
-                          maximize)
+                          maximize, mm_groups=mm_groups,
+                          value_update=value_update, w_H=w_H, remat=remat)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-
-    def _closed(args):
-        """Trace impl to a jaxpr; its consts become explicit kernel inputs.
-
-        ``jax.closure_convert`` leaves some closed-over arrays inline (the
-        analytic-reward constants re-materialize at kernel-trace time), so
-        hoist ALL constvars explicitly: trace once with make_jaxpr, ship
-        ``jaxpr.consts`` as kernel operands, and re-bind the primitives
-        inside the kernel with ``eval_jaxpr`` — guaranteed capture-free.
-        """
-        flat, in_tree = jax.tree_util.tree_flatten(args)
-        shapes = [a.shape for a in flat]
-
-        def impl_flat(*leaves):
-            leaves = [lv.reshape(s) for lv, s in zip(leaves, shapes)]
-            return impl(*jax.tree_util.tree_unflatten(in_tree, leaves))
-
-        padded = [_pad2(a) for a in flat]
-        closed_jaxpr = jax.make_jaxpr(impl_flat)(*padded)
-        consts = [jnp.asarray(c) for c in closed_jaxpr.consts]
-        const_shapes = [c.shape for c in consts]
-        n_args = len(padded)
-
-        def closed(*vals_and_consts):
-            # operands arrive 2-D-padded (Mosaic constraint); restore the
-            # consts' traced shapes before re-binding the jaxpr
-            vals = vals_and_consts[:n_args]
-            cvals = [c.reshape(s) for c, s in
-                     zip(vals_and_consts[n_args:], const_shapes)]
-            out = jax.core.eval_jaxpr(closed_jaxpr.jaxpr, cvals, *vals)
-            return tuple(out)
-
-        return closed, padded, consts
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
     def _fwd_pallas(args):
-        closed, padded, consts = _closed(args)
+        closed, padded, consts, out_leaves, out_tree = _trace_closed(impl,
+                                                                     args)
         n_in = len(padded)
 
         def fwd_kernel(*refs):
             in_refs = refs[:n_in + len(consts)]
-            loss_ref, mret_ref = refs[n_in + len(consts):]
+            out_refs = refs[n_in + len(consts):]
             vals = [r[:] for r in in_refs]
-            loss, mret = closed(*vals)
-            loss_ref[0, 0] = loss
-            mret_ref[0, 0] = mret
+            outs = closed(*vals)
+            for r, o in zip(out_refs, outs):
+                _write(r, o)
 
-        cparams = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
-        loss, mret = pl.pallas_call(
+        outs = pl.pallas_call(
             fwd_kernel,
-            out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
-                       jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+            out_shape=tuple(jax.ShapeDtypeStruct(_pad2_shape(o.shape),
+                                                 o.dtype)
+                            for o in out_leaves),
             in_specs=[vmem] * (n_in + len(consts)),
-            out_specs=(smem, smem),
+            out_specs=tuple(smem if len(o.shape) == 0 else vmem
+                            for o in out_leaves),
             compiler_params=cparams,
             interpret=interpret,
         )(*padded, *[_pad2(c) for c in consts])
-        return loss[0, 0], mret[0, 0]
+        outs = [o.reshape(l.shape) for o, l in zip(outs, out_leaves)]
+        return jax.tree_util.tree_unflatten(out_tree, outs)
 
-    def _bwd_pallas(args, g_loss):
-        closed, padded, consts = _closed(args)
+    def _bwd_pallas(args, g_loss, g_mret):
+        closed, padded, consts, out_leaves, _ = _trace_closed(impl, args)
         n_in = len(padded)
-        # grads w.r.t. pol_params leaves + action_eps (the trailing arg)
+        # grads w.r.t. pol_params leaves + action_eps (the leaf right
+        # before the extras block)
         pol_flat, _ = jax.tree_util.tree_flatten(args[0])
         n_pol = len(pol_flat)
-        eps_idx = n_in - 1  # action_eps is the last flattened leaf block
+        n_extras = len(jax.tree_util.tree_flatten(args[9])[0])
+        eps_idx = n_in - n_extras - 1
         diff_idx = list(range(n_pol)) + [eps_idx]
 
         def bwd_kernel(*refs):
             in_refs = refs[:n_in + len(consts)]
             g_ref = refs[n_in + len(consts)]
-            out_refs = refs[n_in + len(consts) + 1:]
+            gm_ref = refs[n_in + len(consts) + 1]
+            out_refs = refs[n_in + len(consts) + 2:]
             vals = [r[:] for r in in_refs]
 
             def loss_of(diff_vals):
                 v = list(vals)
                 for k, i in enumerate(diff_idx):
                     v[i] = diff_vals[k]
-                return closed(*v)[0]
+                out = closed(*v)
+                # (loss, mean_return) differentiated; aux is sg-decoupled
+                return (out[0], out[1]), out[2:]
 
-            _, vjp = jax.vjp(loss_of, [vals[i] for i in diff_idx])
-            grads, = vjp(g_ref[0, 0])
+            _, vjp, _ = jax.vjp(loss_of, [vals[i] for i in diff_idx],
+                                has_aux=True)
+            grads, = vjp((g_ref[0, 0], gm_ref[0, 0]))
             for r, g in zip(out_refs, grads):
                 r[:] = g
 
-        cparams = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
         outs = pl.pallas_call(
             bwd_kernel,
             out_shape=tuple(jax.ShapeDtypeStruct(padded[i].shape,
                                                  padded[i].dtype)
                             for i in diff_idx),
-            in_specs=[vmem] * (n_in + len(consts)) + [smem],
+            in_specs=[vmem] * (n_in + len(consts)) + [smem, smem],
             out_specs=tuple([vmem] * len(diff_idx)),
             compiler_params=cparams,
             interpret=interpret,
         )(*padded, *[_pad2(c) for c in consts],
-          g_loss.reshape(1, 1).astype(jnp.float32))
+          g_loss.reshape(1, 1).astype(jnp.float32),
+          g_mret.reshape(1, 1).astype(jnp.float32))
         return outs
 
     @jax.custom_vjp
-    def fused(pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
-              z_mm_t, z_rr_t, action_eps):
+    def fused10(pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
+                z_mm_t, z_rr_t, action_eps, extras):
         return _fwd_pallas((pol_params, x0, dyn_params, dyn_stats,
                             dyn_noise, pol_noise, z_mm_t, z_rr_t,
-                            action_eps))
+                            action_eps, extras))
 
     def fused_fwd(*args):
         return _fwd_pallas(args), args
 
     def fused_bwd(args, g):
-        g_loss = g[0]
-        outs = _bwd_pallas(args, g_loss)
+        g_loss = jnp.asarray(g[0])
+        g_mret = jnp.asarray(g[1])
+        outs = _bwd_pallas(args, g_loss, g_mret)
         pol_flat, pol_tree = jax.tree_util.tree_flatten(args[0])
         n_pol = len(pol_flat)
         gpol = jax.tree_util.tree_unflatten(
@@ -392,121 +799,296 @@ def make_fused_loss(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
         g_eps = outs[n_pol].reshape(args[8].shape)
         zeros = tuple(jax.tree_util.tree_map(jnp.zeros_like, a)
                       for a in args[1:8])
-        return (gpol,) + zeros + (g_eps,)
+        z_extras = jax.tree_util.tree_map(jnp.zeros_like, args[9])
+        return (gpol,) + zeros + (g_eps, z_extras)
 
-    fused.defvjp(fused_fwd, fused_bwd)
+    fused10.defvjp(fused_fwd, fused_bwd)
+
+    def fused(*args):
+        return fused10(*_norm_args(args))
+
     return fused
 
 
 def make_fused_value_and_grad(dyn, pol, steps, w_t, mm_states, mm_rewards,
-                              maximize, interpret=False):
-    """ONE kernel per optimizer iteration: (loss, mean_return, pol grads).
+                              maximize, mm_groups=None, value_update=None,
+                              w_H=None, remat=False, interpret=False):
+    """ONE kernel per optimizer iteration: (loss, mean_return, grads, aux).
 
     ``jax.value_and_grad`` over the custom-vjp pair runs TWO kernels (a
     forward for the primal, a backward that recomputes the forward anyway —
     55 + 143 us at the headline config). This variant traces the vjp inside
     a single kernel and writes the primal outputs alongside the gradients,
-    deleting the separate forward launch. Returns
+    deleting the separate forward launch. With ``value_update``, the TD(H)
+    critic refit (and its optax/polyak state transition) runs in the SAME
+    kernel and its outputs come back in ``aux``. Returns
     ``f(pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
-    z_mm_t, z_rr_t, action_eps) -> (loss, mean_return, grads_pytree)``.
-    Not differentiable (the optimizer consumes the grads directly).
+    z_mm_t, z_rr_t, action_eps[, extras]) -> (loss, mean_return,
+    grads_pytree, aux)``. Not differentiable (the optimizer consumes the
+    grads directly).
     """
     impl = make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards,
-                          maximize)
+                          maximize, mm_groups=mm_groups,
+                          value_update=value_update, w_H=w_H, remat=remat)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def fused_vg(*args):
-        flat, in_tree = jax.tree_util.tree_flatten(args)
-        shapes = [a.shape for a in flat]
-
-        def impl_flat(*leaves):
-            leaves = [lv.reshape(s) for lv, s in zip(leaves, shapes)]
-            return impl(*jax.tree_util.tree_unflatten(in_tree, leaves))
-
-        padded = [_pad2(a) for a in flat]
-        closed_jaxpr = jax.make_jaxpr(impl_flat)(*padded)
-        consts = [jnp.asarray(c) for c in closed_jaxpr.consts]
-        const_shapes = [c.shape for c in consts]
+        args = _norm_args(args)
+        closed, padded, consts, out_leaves, out_tree = _trace_closed(impl,
+                                                                     args)
         n_in = len(padded)
         pol_flat, pol_tree = jax.tree_util.tree_flatten(args[0])
         n_pol = len(pol_flat)
+        n_aux = len(out_leaves) - 2
 
         def kernel(*refs):
             in_refs = refs[:n_in + len(consts)]
             loss_ref, mret_ref = refs[n_in + len(consts):
                                       n_in + len(consts) + 2]
-            out_refs = refs[n_in + len(consts) + 2:]
+            grad_refs = refs[n_in + len(consts) + 2:
+                             n_in + len(consts) + 2 + n_pol]
+            aux_refs = refs[n_in + len(consts) + 2 + n_pol:]
             vals = [r[:] for r in in_refs]
-            cvals = [c.reshape(s) for c, s in
-                     zip(vals[n_in:], const_shapes)]
 
             def outs_of(pol_vals):
-                v = list(vals[:n_in])
+                v = list(vals)
                 for k in range(n_pol):
                     v[k] = pol_vals[k]
-                out = jax.core.eval_jaxpr(closed_jaxpr.jaxpr, cvals, *v)
-                return tuple(out)
+                out = closed(*v)
+                return (out[0], out[1]), out[2:]
 
-            (loss, mret), vjp = jax.vjp(outs_of, vals[:n_pol])
+            (loss, mret), vjp, aux = jax.vjp(outs_of, vals[:n_pol],
+                                             has_aux=True)
             grads, = vjp((jnp.ones((), jnp.float32),
                           jnp.zeros((), jnp.float32)))
             loss_ref[0, 0] = loss
             mret_ref[0, 0] = mret
-            for r, g in zip(out_refs, grads):
+            for r, g in zip(grad_refs, grads):
                 r[:] = g
+            for r, a in zip(aux_refs, aux):
+                _write(r, a)
 
+        aux_leaves = out_leaves[2:]
         outs = pl.pallas_call(
             kernel,
             out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
                        jax.ShapeDtypeStruct((1, 1), jnp.float32))
             + tuple(jax.ShapeDtypeStruct(p.shape, p.dtype)
-                    for p in padded[:n_pol]),
+                    for p in padded[:n_pol])
+            + tuple(jax.ShapeDtypeStruct(_pad2_shape(a.shape), a.dtype)
+                    for a in aux_leaves),
             in_specs=[vmem] * (n_in + len(consts)),
-            out_specs=(smem, smem) + tuple([vmem] * n_pol),
+            out_specs=(smem, smem) + tuple([vmem] * n_pol)
+            + tuple(smem if len(a.shape) == 0 else vmem
+                    for a in aux_leaves),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
         )(*padded, *[_pad2(c) for c in consts])
         loss, mret = outs[0][0, 0], outs[1][0, 0]
         grads = jax.tree_util.tree_unflatten(
             pol_tree, [o.reshape(p.shape)
-                       for o, p in zip(outs[2:], pol_flat)])
-        return loss, mret, grads
+                       for o, p in zip(outs[2:2 + n_pol], pol_flat)])
+        aux_flat = [o.reshape(l.shape)
+                    for o, l in zip(outs[2 + n_pol:], aux_leaves)]
+        full = jax.tree_util.tree_unflatten(
+            out_tree, [jnp.zeros(()), jnp.zeros(())] + aux_flat)
+        return loss, mret, grads, full[2]
 
     return fused_vg
 
 
-def prepare_mm_noise(z, steps, B):
+def make_fused_sharded_value_and_grad(dyn, pol, steps, w_t, mm_states,
+                                      mm_rewards, maximize, mesh,
+                                      particle_axis, mm_groups=None,
+                                      remat=False, interpret=False):
+    """Compose the fused kernel with a device mesh: shard_map over particles.
+
+    Composition contract (from the reference's own grouped-MM semantics,
+    `prob_mbrl/utils/rollout.py:125-145`): grouped moment matching is
+    block-local over contiguous particle blocks, so with ``mm_groups``
+    divisible by the mesh size every group lives entirely on one shard and
+    per-shard grouped MM is EXACTLY global grouped MM — no collectives
+    inside the rollout at all. Each device runs the single fused kernel on
+    its particle shard (with ``mm_groups / n_devices`` local groups); the
+    only cross-device traffic is one pmean of (loss, mean_return,
+    policy-grads) per optimizer iteration. Ungrouped MM under a mesh would
+    need cross-shard moments between kernel segments and stays on the XLA
+    path (see :func:`supports`).
+
+    Returns ``f(...) -> (loss, mean_return, grads, ())`` with the same
+    signature as :func:`make_fused_value_and_grad` (no value bootstrap —
+    the per-shard critic refit would desynchronize critic replicas).
+    """
+    try:
+        from jax import shard_map as _sm
+
+        def shard_map(f, **kw):
+            return _sm(f, check_vma=False, **kw)
+    except ImportError:  # older jax
+        from functools import partial
+        from jax.experimental.shard_map import shard_map as _sm
+        shard_map = partial(_sm, check_rep=False)
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = int(mesh.size)
+    g_local = mm_groups // n_dev if mm_groups else None
+    local_vg = make_fused_value_and_grad(
+        dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
+        mm_groups=g_local, remat=remat, interpret=interpret)
+
+    def _local(pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
+               z_mm_t, z_rr_t, action_eps, extras):
+        loss, mret, grads, aux = local_vg(
+            pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
+            z_mm_t, z_rr_t, action_eps, extras)
+        # equal shard sizes: global mean = mean of per-shard means; the
+        # policy gradient of the global mean loss is likewise the pmean
+        loss = jax.lax.pmean(loss, particle_axis)
+        mret = jax.lax.pmean(mret, particle_axis)
+        grads = jax.lax.pmean(grads, particle_axis)
+        return loss, mret, grads, aux
+
+    rep, par, tpar = P(), P(particle_axis), P(None, particle_axis)
+    sharded = shard_map(
+        _local, mesh=mesh,
+        in_specs=(rep, par, rep, rep, par, par, tpar, tpar, tpar, rep),
+        out_specs=(rep, rep, rep, rep))
+
+    def fused_vg(*args):
+        return sharded(*_norm_args(args))
+
+    return fused_vg
+
+
+def prepare_mm_noise(z, steps, B, mm_groups=None):
     """Standardize + cyclically pre-roll fixed MM noise to [T, B, zD].
 
-    Mirrors `utils/rollout.py:213-221` (ungrouped cholesky path): the
-    standardization commutes with the roll, so it runs once per noise epoch.
+    Mirrors `utils/rollout.py:213-221` (cholesky path): ungrouped noise is
+    standardized once per noise epoch (the standardization commutes with
+    the roll); grouped noise is standardized PER GROUP of each rolled
+    per-step slice (the roll moves particles across group boundaries, so it
+    cannot be hoisted past the grouping — same as the XLA grouped path,
+    `ops/moment_matching.py:85-95`).
     """
     from ..moment_matching import standardize_noise
-    z = standardize_noise(z)
     tb = (np.arange(steps)[:, None] + np.arange(B)[None, :]) % B
-    return z[tb]
+    if not mm_groups:
+        return standardize_noise(z)[tb]
+    zt = z[tb]                                             # [T, B, zD]
+    zD = z.shape[-1]
+    zt = zt.reshape(steps, mm_groups, B // mm_groups, zD)
+    zt = standardize_noise(zt)
+    return zt.reshape(steps, B, zD)
 
 
-def supports(cfg, dyn, pol, value_update, mesh):
+# ---------------------------------------------------------------------------
+# Support gate
+# ---------------------------------------------------------------------------
+
+VMEM_BUDGET_BYTES = 68 * 1024 * 1024
+
+
+def vmem_bytes_estimate(cfg, dyn, pol, value_spec=None, remat=False):
+    """Estimated VMEM footprint of the backward kernel's in-kernel state.
+
+    The backward kernel holds its linearization residuals on-chip (no HBM
+    spill). Measured on v5e: ~11 KB of residuals per particle-step at the
+    default [200, 200]+[200, 200] widths and D=5 (B=1000, T=15 demanded
+    167 MB against the 128 MB VMEM). Residuals are dominated by the
+    per-layer activations/masks of the two MLPs, so the estimate scales
+    with total hidden width instead of hard-coding the default shapes
+    (round-4 advisor finding: a width-blind particle-step cap under-gates
+    wide --dyn_shape/--pol_shape configs).
+
+    With ``remat`` (in-kernel per-step gradient checkpointing) only ONE
+    step's residuals are ever live at a time, plus the T step-boundary
+    states — the footprint that admits B=4096 into the single-kernel
+    regime.
+    """
+    D_in = pol.mlp.input_dims
+    U = pol.mlp.output_dims
+    units = (sum(dyn.regressor.mlp.hidden_dims) + sum(pol.mlp.hidden_dims)
+             + 4 * (D_in + U))
+    if remat:
+        total = (cfg.n_particles * 14.0 * units
+                 + 3 * cfg.steps * cfg.n_particles * 4.0 * (D_in + 1))
+    else:
+        total = cfg.n_particles * cfg.steps * 14.0 * units
+    if value_spec is not None:
+        # critic fwd+bwd residuals are per-particle (evaluated at s0/sT
+        # only), plus two extra param/opt-state copies
+        total += cfg.n_particles * 3 * 14.0 * sum(
+            value_spec.mlp.hidden_dims)
+        total += 6 * 4.0 * sum(
+            a * b for a, b in zip(
+                (value_spec.mlp.input_dims,) + value_spec.mlp.hidden_dims,
+                value_spec.mlp.hidden_dims + (value_spec.mlp.output_dims,)))
+    if cfg.mm_groups:
+        D = dyn.state_dims
+        GD = cfg.mm_groups * D
+        # grouped-MM indicator masks ([GD, B] / [B, GD]) + packed transients
+        total += 4.0 * (GD * GD + 3 * GD * cfg.n_particles)
+    return total
+
+
+def supports(cfg, dyn, pol, value_update, mesh, value_spec=None):
     """True when the fused kernel covers this MC-PILCO configuration."""
-    # VMEM ceiling: the backward kernel holds its linearization residuals
-    # on-chip (no HBM spill) — measured ~11 KB of VMEM per particle-step
-    # at [200, 200] widths (B=1000, T=15 demanded 167 MB vs the v5e's
-    # 128 MB). Gate at ~68 MB (2x headroom); larger batches stay on the
-    # XLA path, which is compute-bound there anyway (per-op overhead
-    # amortizes over the big batch — the fused kernel's win is the
-    # SMALL-batch latency regime).
-    if cfg.n_particles * cfg.steps > 6144:
-        return False
-    return (cfg.mm_method == 'cholesky'
+    return fused_mode(cfg, dyn, pol, value_update, mesh, value_spec) \
+        is not None
+
+
+def fused_mode(cfg, dyn, pol, value_update, mesh, value_spec=None):
+    """Which fused-kernel variant covers this configuration.
+
+    Returns ``'full'`` (all T steps' residuals resident in VMEM — the
+    small-batch latency-bound regime), ``'remat'`` (per-step in-kernel
+    checkpointing for large batches), or ``None`` (XLA rollout path).
+    """
+    n_shards = 1
+    if mesh is not None:
+        try:
+            n_shards = int(mesh.size)
+        except (AttributeError, TypeError):
+            return None
+        if cfg.n_particles % n_shards:
+            return None
+        if cfg.mm_states or cfg.mm_rewards:
+            # per-shard MM == global MM only for shard-aligned groups
+            if not cfg.mm_groups or cfg.mm_groups % n_shards:
+                return None
+        if value_update is not None:
+            # a per-shard critic refit would desynchronize critic replicas
+            return None
+    if cfg.mm_groups:
+        if cfg.n_particles % cfg.mm_groups:
+            return None
+        if cfg.n_particles // cfg.mm_groups < 2:
+            return None  # group size 1: covariance undefined (both paths)
+    if value_update is not None:
+        if value_spec is None or getattr(value_update, 'core', None) is None:
+            return None
+        if getattr(cfg, 'val_mask_mode', 'epoch') != 'epoch':
+            # 'iter' mode draws fresh critic masks per iteration from a key;
+            # the kernel takes the per-epoch noise pytree (reference mode)
+            return None
+        if value_update.H > cfg.steps:
+            return None
+    if not (cfg.mm_method == 'cholesky'
             and not cfg.infer_noise_variables
-            and cfg.mm_groups is None
             and cfg.pegasus
             and cfg.cvar_eps == 0.0
             and cfg.reg_weight == 0.0
-            and not cfg.with_priorities
-            and value_update is None
-            and mesh is None
-            and dyn.reward_func is not None)
+            and not cfg.with_priorities):
+        return None
+    local = dataclasses.replace(
+        cfg, n_particles=cfg.n_particles // n_shards,
+        mm_groups=(cfg.mm_groups // n_shards if cfg.mm_groups else None))
+    vspec = value_spec if value_update is not None else None
+    if vmem_bytes_estimate(local, dyn, pol, vspec) <= VMEM_BUDGET_BYTES:
+        return 'full'
+    if vmem_bytes_estimate(local, dyn, pol, vspec,
+                           remat=True) <= VMEM_BUDGET_BYTES:
+        return 'remat'
+    return None

@@ -79,8 +79,8 @@ def make_train_fn(reg, optimizer, batchsize=100, reg_weight=1.0,
         minibatch (inputs, targets, dropout noise, weights) is
         sharding-constrained along ``batch_axis`` so GSPMD data-parallelizes
         the fit: per-shard forward/backward, gradients combined by an
-        automatic psum, params/opt-state replicated. ``batchsize`` must
-        divide the mesh size. The dataset itself stays replicated — the
+        automatic psum, params/opt-state replicated. The mesh size must
+        divide ``batchsize``. The dataset itself stays replicated — the
         per-step gather of ``batchsize`` random rows is tiny next to the
         MLP flops, and a sharded dataset would turn every gather into an
         all-gather of the same bytes anyway.
@@ -97,6 +97,11 @@ def make_train_fn(reg, optimizer, batchsize=100, reg_weight=1.0,
         reg_optimizer = optax.sgd(1e-4)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
+        if batchsize % int(mesh.size):
+            raise ValueError(
+                f'make_train_fn: mesh size {int(mesh.size)} must divide '
+                f'batchsize {batchsize} (each device takes an equal slice '
+                'of every minibatch)')
         batch_sharding = NamedSharding(mesh, PartitionSpec(batch_axis))
 
         def constrain_batch(tree):

@@ -97,6 +97,36 @@ def main():
             'ops': [{'shape': s, 'bytes': b} for s, b in ars],
         }), flush=True)
 
+    # fused + sharded (round 5): the Pallas mega-kernel per shard with
+    # shard-local MM groups — the contract is NO collectives inside the
+    # rollout at all; the only cross-device traffic per optimizer iteration
+    # is the pmean of (loss, mean_return, policy grads) after the kernel.
+    import optax
+    from prob_mbrl_tpu.algorithms.mc_pilco import (MCPILCOConfig,
+                                                   make_mc_pilco_fn)
+    for n in (2, 4, 8):
+        dyn, pol, dyn_params, dyn_stats, pol_params = tiny_setup()
+        mesh = parallel.make_mesh(n)
+        B = 4 * n
+        cfg = MCPILCOConfig(n_particles=B, steps=4, mm_states=True,
+                            mm_rewards=True, mm_groups=n,
+                            fused_rollout=True)
+        optimizer = optax.adam(1e-3)
+        opt = make_mc_pilco_fn(dyn, pol, cfg, optimizer, mesh=mesh)
+        x0_pool = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (B, 4))
+        opt_state = optimizer.init(pol_params)
+        hlo = opt.lower(pol_params, opt_state, dyn_params, dyn_stats,
+                        x0_pool, jax.random.PRNGKey(1), 0,
+                        2).compile().as_text()
+        ars = allreduce_summary(hlo)
+        print(json.dumps({
+            'program': 'fused_sharded_optimizer_iteration',
+            'devices': n,
+            'all_reduce_count': len(ars),
+            'total_bytes_per_iteration': sum(b for _, b in ars),
+            'ops': [{'shape': s, 'bytes': b} for s, b in ars],
+        }), flush=True)
+
 
 if __name__ == '__main__':
     main()

@@ -1,0 +1,194 @@
+"""Mosaic-compiled fused-kernel parity check on the REAL TPU chip.
+
+The test suite exercises the fused rollout kernels in Pallas interpret mode
+on CPU (tests/test_fused_rollout.py); this tool runs the SAME fused-vs-XLA
+comparisons with the kernels actually compiled by Mosaic on the attached
+TPU — the configuration the drivers and bench.py use in production. It is
+invoked by the @pytest.mark.tpu test in tests/test_fused_tpu.py (and can be
+run standalone: ``python tools/fused_tpu_parity.py``).
+
+Checks, at the production scale (B=100, T=15, [200, 200] MLPs):
+  * cholesky-MM (the headline config), no-MM, grouped MM, learned reward:
+    3-iteration optimizer loss curves fused-on vs fused-off;
+  * the with-value variant: loss, v_loss AND final critic params (the
+    in-kernel optax update) fused-on vs fused-off.
+
+Exit code 0 = all parities hold.
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..'))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from prob_mbrl_tpu import models  # noqa: E402
+from prob_mbrl_tpu.envs.cartpole import cartpole_reward  # noqa: E402
+from prob_mbrl_tpu.algorithms.mc_pilco import (MCPILCOConfig,  # noqa: E402
+                                               make_mc_pilco_fn)
+from prob_mbrl_tpu.algorithms.value import make_value_update_fn  # noqa: E402
+
+
+def build(learn_reward=False, B=100, hidden=(200, 200)):
+    D, U = 5, 1
+    density = models.DiagGaussianDensity(D + 1 if learn_reward else D)
+    dyn_mlp = models.MLPSpec(D + U, density.n_inputs, hidden,
+                             dropout=models.cdropout(0.1))
+    dyn = models.DynamicsModel(
+        regressor=models.Regressor(mlp=dyn_mlp, output_density=density),
+        reward_func=None if learn_reward else cartpole_reward())
+    pd = models.DiagGaussianDensity(U)
+    pol_mlp = models.MLPSpec(D, pd.n_inputs, hidden,
+                             dropout=models.bdropout(0.1))
+    pol = models.Policy(mlp=pol_mlp, output_density=pd, max_u=(10.0,))
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 3)
+    return dict(dyn=dyn, pol=pol, D=D,
+                dyn_params=dyn.init(ks[0]), pol_params=pol.init(ks[1]),
+                stats=dyn.init_stats(),
+                x0_pool=0.1 * jax.random.normal(ks[2], (2 * B, D)))
+
+
+def run_cfg(e, cfg, fused, value=False, unroll=None):
+    import dataclasses as _dc
+    if unroll is not None:
+        cfg = _dc.replace(cfg, rollout_unroll=unroll)
+    opt_ = optax.adam(1e-3)
+    kwargs = {}
+    vs = vu = None
+    if value:
+        v_mlp = models.MLPSpec(e['D'], 1, (200, 200),
+                               dropout=models.cdropout(0.1))
+        vs = models.Regressor(mlp=v_mlp)
+        v_opt = optax.adam(1e-4)
+        vu = make_value_update_fn(vs, v_opt, cfg.steps, use_density=False,
+                                  polyak=1.0)
+        vp = vs.init(jax.random.PRNGKey(9))
+        kwargs = dict(value_params=vp, value_stats=vs.init_stats(),
+                      value_target=vp, value_opt_state=v_opt.init(vp))
+    import dataclasses
+    cfg = dataclasses.replace(cfg, fused_rollout=fused)
+    opt = make_mc_pilco_fn(e['dyn'], e['pol'], cfg, opt_, value_spec=vs,
+                           value_update=vu)
+    out = opt(e['pol_params'], opt_.init(e['pol_params']), e['dyn_params'],
+              e['stats'], e['x0_pool'], jax.random.PRNGKey(5), 0, 3,
+              **kwargs)
+    metrics = out[2]
+    res = {'loss': np.asarray(metrics['loss'])}
+    if value:
+        res['v_loss'] = np.asarray(metrics['v_loss'])
+        res['v_params'] = jax.tree_util.tree_map(np.asarray, out[4][0])
+    return res
+
+
+def check(name, a, b, rtol=2e-3, atol=1e-5):
+    """Iteration-1 compared tightly; later iterations loosely.
+
+    Mosaic and XLA accumulate the MM cholesky chain in different orders;
+    on the degenerate particle clouds of an UNTRAINED dynamics model
+    (rewards ~0, covariances rank-deficient -> 8-way jitter escalation,
+    sqrt(jitter)-dominated factors) that reassociation noise is ~1e-5
+    relative per iteration and compounds through the Adam updates. The
+    first iteration isolates pure kernel-vs-XLA numerics; interpret-mode
+    tests pin exact semantics and the committed full trainings pin
+    learning equivalence (RESULTS.md).
+    """
+    e0 = abs(float(a[0]) - float(b[0]))
+    floor = atol if np.isscalar(atol) else float(atol)
+    ok = (e0 <= floor + rtol * abs(float(b[0]))
+          and np.all(np.isfinite(a))
+          and np.allclose(a, b, rtol=5e-2, atol=max(1e-3, 10 * floor)))
+    err = np.abs(a - b).max()
+    print(f'  {name}: fused={a.tolist()} xla={b.tolist()} '
+          f'iter1_err={e0:.2e} max_abs_err={err:.2e} tol_floor={floor:.1e} '
+          f'-> {"OK" if ok else "FAIL"}', flush=True)
+    return ok
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f'device: {dev} ({dev.platform})', flush=True)
+    if 'tpu' not in dev.platform.lower() and 'TPU' not in getattr(
+            dev, 'device_kind', ''):
+        print('no TPU attached; this tool checks Mosaic compilation',
+              flush=True)
+        return 2
+
+    ok = True
+    e = build()
+    # Sensitivity floor: the MM chain on an untrained model's degenerate
+    # particle clouds amplifies f32 reassociation chaotically (saturated
+    # exp-quadratic rewards; jitter-escalated cholesky of huge
+    # ill-conditioned covariances). Measure the loss divergence between
+    # two XLA-ONLY compilations that differ solely in op order (scan vs
+    # full unroll) — any fused-vs-XLA difference within a few x of that
+    # floor is reassociation noise, not a kernel bug.
+    mm_cfg = MCPILCOConfig(n_particles=100, steps=15, mm_states=True,
+                           mm_rewards=True)
+    xa = run_cfg(e, mm_cfg, False, unroll=15)['loss']
+    xb = run_cfg(e, mm_cfg, False, unroll=1)['loss']
+    floor = max(1e-5, 3 * abs(float(xa[0]) - float(xb[0])))
+    print(f'XLA-vs-XLA (unroll 15 vs 1) iter-1 divergence: '
+          f'{abs(float(xa[0]) - float(xb[0])):.2e} -> MM tolerance floor '
+          f'{floor:.2e}', flush=True)
+
+    configs = [
+        ('cholesky-MM (headline)', mm_cfg, floor),
+        ('no-MM', MCPILCOConfig(n_particles=100, steps=15), 1e-5),
+        ('grouped-MM (G=10)',
+         MCPILCOConfig(n_particles=100, steps=15, mm_states=True,
+                       mm_rewards=True, mm_groups=10), floor),
+    ]
+    for name, cfg, atol in configs:
+        print(name, flush=True)
+        a = run_cfg(e, cfg, True)
+        b = run_cfg(e, cfg, False)
+        ok &= check('loss', a['loss'], b['loss'], atol=atol)
+
+    print('learned-reward MM', flush=True)
+    el = build(learn_reward=True)
+    cfg = MCPILCOConfig(n_particles=100, steps=15, mm_states=True,
+                        mm_rewards=True)
+    a = run_cfg(el, cfg, True)
+    b = run_cfg(el, cfg, False)
+    ok &= check('loss', a['loss'], b['loss'], atol=floor)
+
+    print('remat kernel (forced, B=100)', flush=True)
+    # the B=4096 tier's kernel structure, validated at checkable scale:
+    # force mode='remat' (rollout_unroll tweak only dodges the fn cache —
+    # the fused path ignores it)
+    import dataclasses as _dc
+    import prob_mbrl_tpu.ops.pallas.fused_rollout as fr
+    b_mm = run_cfg(e, mm_cfg, False)['loss']
+    orig = fr.fused_mode
+    try:
+        fr.fused_mode = lambda *a, **k: ('remat' if orig(*a, **k) else None)
+        a = run_cfg(e, _dc.replace(mm_cfg, rollout_unroll=2), True)
+    finally:
+        fr.fused_mode = orig
+    ok &= check('loss', a['loss'], b_mm, atol=floor)
+
+    print('with-value (TD(H) critic in-kernel)', flush=True)
+    cfg = MCPILCOConfig(n_particles=100, steps=15)
+    a = run_cfg(e, cfg, True, value=True)
+    b = run_cfg(e, cfg, False, value=True)
+    ok &= check('loss', a['loss'], b['loss'])
+    ok &= check('v_loss', a['v_loss'], b['v_loss'])
+    perr = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda x, y: float(np.abs(x - y).max()), a['v_params'],
+        b['v_params'])))
+    print(f'  critic params max_abs_err={perr:.2e} -> '
+          f'{"OK" if perr < 1e-4 else "FAIL"}', flush=True)
+    ok &= perr < 1e-4
+
+    print('ALL OK' if ok else 'PARITY FAILURES', flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())

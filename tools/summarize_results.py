@@ -86,22 +86,51 @@ def group_stats(summary, prefix, threshold):
     return rows
 
 
+# Superseded with-value diagnostic configurations (round 3): each was an
+# experiment toward root-causing the variant, NOT the reference semantics —
+# kept for the record, reported separately so the main table tallies only
+# reference-faithful runs (round-4 judge finding).
+DIAGNOSTIC = {
+    'tpu_value_s1': 'density-NLL critic + polyak-0.005 target (unfaithful '
+                    'on both axes; superseded by tpu_value_faithful*)',
+    'tpu_value2_s1': 'MSE critic + polyak target + per-iteration masks '
+                     '(superseded)',
+    'tpu_value3_s1': 'MSE critic + polyak target, epoch masks '
+                     '(closest diagnostic; still no live-critic bootstrap)',
+}
+
+
+def _fmt(x, d=2):
+    return ('—' if x is None else
+            (f'{x:.{d}f}' if isinstance(x, float) else str(x)))
+
+
 def markdown(summary, threshold):
     lines = ['| run | best eval return (5-eval mean) | final-5 eval mean | '
              f'episodes to ≥{threshold} | best collected return |',
              '|---|---|---|---|---|']
+    diag_rows = []
     for prefix in ('ref_no_mm', 'tpu_no_mm', 'ref_mm', 'tpu_mm', 'tpu_mix',
-                   'ref_value', 'tpu_value', 'tpu_double'):
+                   'ref_value', 'tpu_value', 'ref_double', 'tpu_double',
+                   'ref_pendulum', 'tpu_pendulum'):
         rows = group_stats(summary, prefix, threshold)
         if not rows:
             continue
         for r in rows:
-            fmt = lambda x, d=2: ('—' if x is None else
-                                  (f'{x:.{d}f}' if isinstance(x, float)
-                                   else str(x)))
-            lines.append(f"| {r['run']} | {fmt(r['best_eval'])} | "
-                         f"{fmt(r['final5'])} | {fmt(r['eps_to_thr'])} | "
-                         f"{fmt(r['best_collect'])} |")
+            row = (f"| {r['run']} | {_fmt(r['best_eval'])} | "
+                   f"{_fmt(r['final5'])} | {_fmt(r['eps_to_thr'])} | "
+                   f"{_fmt(r['best_collect'])} |")
+            if r['run'] in DIAGNOSTIC:
+                diag_rows.append(row[:-1] + f" {DIAGNOSTIC[r['run']]} |")
+            else:
+                lines.append(row)
+    if diag_rows:
+        lines += ['', '**Superseded diagnostic configs** (round-3 '
+                  'root-causing experiments — not reference semantics; see '
+                  'the with-value narrative):', '',
+                  '| run | best eval | final-5 | eps to thr | best collected'
+                  ' | configuration |', '|---|---|---|---|---|---|']
+        lines += diag_rows
     return '\n'.join(lines)
 
 
