@@ -252,129 +252,124 @@ def _grouped_consts(B, D, G, cache):
     return cache[key]
 
 
-def _chol_consts(D, G, cache):
-    """Constants for the grouped packed cholesky (memoized in ``cache``)."""
-    key = ('chol', D, G)
-    if key not in cache:
-        GD = G * D
-        blk = np.repeat(np.arange(G), D)
-        cache[key] = dict(
-            P=jnp.asarray((blk[:, None] == blk[None, :]).astype(np.float32)),
-            C=jnp.asarray((np.arange(GD)[:, None] % D ==
-                           np.arange(D)[None, :]).astype(np.float32)),
-            eye_t=jnp.asarray(np.tile(np.eye(D, dtype=np.float32), (G, 1))),
-        )
-    return cache[key]
+def _cholpackT_consts(D, G, max_tries, jitters, cache):
+    """Constants for the LANE-MAJOR tries x groups packed escalation.
 
-
-def _grouped_block_cholesky(A, eye_t, P, C, tol_sq):
-    """One packed [G*D, D] cholesky over G independent D-blocks.
-
-    Same mask-and-reduce machinery as :func:`_safe_cholesky_kf`'s packed
-    escalation, reused with blocks = GROUPS instead of blocks = jitter
-    tries. Returns (L, bad) with ``bad`` [G*D, 1] counting failed pivots,
-    block-broadcast.
+    All try-expanded values live as [D, N] / [1, N] with N = Tr*G*D on the
+    LANE axis: a rows-packed [N, D] layout tiles to (N, 128) — 204 KB per
+    transient at G=10 — and the escalation's per-column intermediates blew
+    the 128 MB VMEM as Mosaic stack/spill slots (measured 126-149 MB).
+    Lane-major tiles are (8, lanes): ~16 KB per value, ~13x smaller.
     """
-    D = A.shape[-1]
-    GD = A.shape[0]
-    c = jax.lax.broadcasted_iota(jnp.int32, (GD, D), 1)
-    r_loc = jax.lax.broadcasted_iota(jnp.int32, (GD, 1), 0) % D
-    bad = jnp.zeros((GD, 1), A.dtype)
-    L = jnp.zeros_like(A)
-    for j in range(D):
-        colmask = (c == j).astype(A.dtype)
-        piv_at = jnp.sum(A * eye_t * colmask, -1, keepdims=True)
-        piv_sq = jnp.dot(P, piv_at, preferred_element_type=jnp.float32)
-        bad = bad + (piv_sq <= tol_sq).astype(A.dtype)
-        piv = jnp.sqrt(jnp.maximum(piv_sq, 1e-30))
-        colv = jnp.sum(A * colmask, -1, keepdims=True)
-        col = jnp.clip(colv / piv, -1e18, 1e18) \
-            * (r_loc >= j).astype(A.dtype)
-        L = L + col * colmask
-        if j + 1 < D:
-            O = jax.lax.dot_general(col, col, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            A = A - jnp.dot(O * P, C, preferred_element_type=jnp.float32)
-    return L, bad
-
-
-def _cholpack_consts(D, G, max_tries, jitters, cache):
-    """Constants for the tries x groups packed escalation ([Tr*G*D, D])."""
-    key = ('cholpack', D, G, max_tries)
+    key = ('cholpackT', D, G, max_tries)
     if key not in cache:
         GD = G * D
         N = max_tries * GD
-        blk = np.repeat(np.arange(max_tries * G), D)     # packed row -> blk
-        TileT = np.zeros((N, GD), np.float32)            # replicate per try
-        TileT[np.arange(N), np.arange(N) % GD] = 1.0
-        Sel = np.zeros((max_tries, GD, N), np.float32)   # extract try t
+        NB = max_tries * G
+        r = np.arange(N)
+        blk = r // D                                     # packed row -> blk
+        Pb = (blk[:, None] == np.arange(NB)[None, :]).astype(np.float32)
+        Sel = np.zeros((max_tries, N, GD), np.float32)   # try-t extractor
         for t in range(max_tries):
-            Sel[t, np.arange(GD), t * GD + np.arange(GD)] = 1.0
+            Sel[t, t * GD + np.arange(GD), np.arange(GD)] = 1.0
+        SelC = np.zeros((D, N, NB), np.float32)          # col-c of own block
+        for c in range(D):
+            SelC[c, np.arange(NB) * D + c, np.arange(NB)] = 1.0
+        q = np.arange(GD)
+        Pbg = ((q // D)[:, None] ==
+               np.arange(G)[None, :]).astype(np.float32)
         cache[key] = dict(
-            P=jnp.asarray((blk[:, None] == blk[None, :]).astype(np.float32)),
-            C=jnp.asarray((np.arange(N)[:, None] % D ==
-                           np.arange(D)[None, :]).astype(np.float32)),
-            eye_t=jnp.asarray(np.tile(np.eye(D, dtype=np.float32),
-                                      (max_tries * G, 1))),
-            TileT=jnp.asarray(TileT),
-            jit=jnp.asarray(np.asarray(jitters, np.float32)
-                            .repeat(GD)[:, None]),       # [N, 1], try-major
-            Sel=[jnp.asarray(Sel[t]) for t in range(max_tries)],
-            SelSum=jnp.asarray(Sel.sum(0)),
+            Pb=jnp.asarray(Pb),                          # [N, NB]
+            PbT=jnp.asarray(Pb.T.copy()),                # [NB, N]
+            SelT=[jnp.asarray(Sel[t]) for t in range(max_tries)],  # [N, GD]
+            TileTt=jnp.asarray(Sel.sum(0).T.copy()),     # [GD, N]
+            SelSumT=jnp.asarray(Sel.sum(0)),             # [N, GD]
+            SelCT=[jnp.asarray(SelC[c]) for c in range(D)],        # [N, NB]
+            eyeTN=jnp.asarray((np.arange(N)[None, :] % D ==
+                               np.arange(D)[:, None]).astype(np.float32)),
+            eyeTG=jnp.asarray((q[None, :] % D ==
+                               np.arange(D)[:, None]).astype(np.float32)),
+            Pbg=jnp.asarray(Pbg),                        # [GD, G]
+            PbgT=jnp.asarray(Pbg.T.copy()),              # [G, GD]
+            jit_row=jnp.asarray(np.asarray(jitters, np.float32)
+                                .repeat(GD)[None, :]),   # [1, N]
         )
     return cache[key]
 
 
-def _safe_cholesky_grouped(S, n_groups, cache, initial_jitter=1e-12,
-                           max_tries=8, factor=100.0):
-    """Per-group ``safe_cholesky`` over G packed D-blocks ([G*D, D]).
+def _safe_cholesky_grouped_t(St, n_groups, cache, initial_jitter=1e-12,
+                             max_tries=8, factor=100.0):
+    """Per-group ``safe_cholesky``, lane-major: St [D, G*D] -> Lt [D, G*D].
 
-    ALL ``max_tries`` jitter attempts of ALL groups factor in ONE packed
-    [Tr*G*D, D] block-cholesky pass (blocks = try x group). A sequential
-    Python loop over tries instead produced ~8x the vector temporaries and
-    blew Mosaic's register-allocator spill budget (149 MB of spill slots at
-    G=10 vs the 128 MB VMEM). Per-group first-ok selection = per-group
-    min over the ok tries' jitters (jitters increase), extracted by
-    constant selector matmuls; selection masks are stop_gradient, the
-    selected try's factor is differentiable w.r.t. S, and groups where
-    every attempt fails are NaN-poisoned — exactly
+    ``St[j, g*D+i] = S_g[i, j]`` (the g-th group's covariance, transposed
+    into the lane axis). ALL ``max_tries`` jitter attempts of ALL groups
+    factor in ONE packed [D, Tr*G*D] block-cholesky; per-group first-ok
+    selection = per-group min over the ok tries' jitters (jitters
+    increase), extracted by constant selector matmuls. Selection masks are
+    stop_gradient, the selected try's factor is differentiable w.r.t. St,
+    and groups where every attempt fails are NaN-poisoned — exactly
     :func:`_safe_cholesky_kf`'s semantics, per group.
     """
-    D = S.shape[-1]
+    D = St.shape[0]
     G = n_groups
+    GD = G * D
     jitters = [float(initial_jitter * factor ** i) for i in range(max_tries)]
-    gs = _chol_consts(D, G, cache)
-    cs = _cholpack_consts(D, G, max_tries, jitters, cache)
-    dtype = S.dtype
-    diag = jnp.sum(S * gs['eye_t'], -1, keepdims=True)       # [GD, 1]
-    # per-group mean |diag| (the scale ops.safe_cholesky derives per matrix)
+    cs = _cholpackT_consts(D, G, max_tries, jitters, cache)
+    dtype = St.dtype
+    f32 = jnp.float32
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
+
+    diag = jnp.sum(St * cs['eyeTG'], 0, keepdims=True)       # [1, GD]
     scale = jax.lax.stop_gradient(
-        jnp.dot(gs['P'], jnp.abs(diag),
-                preferred_element_type=jnp.float32) / D
-        + 1e-30)                                             # [GD, 1]
-    tol = 1e-5 * jnp.sqrt(scale)
-    TileT = cs['TileT']
-    scale_big = jnp.dot(TileT, scale, preferred_element_type=jnp.float32)
-    tol_big = jnp.dot(TileT, tol, preferred_element_type=jnp.float32)
-    A = jnp.dot(TileT, S, preferred_element_type=jnp.float32) \
-        + (cs['jit'] * scale_big) * cs['eye_t']              # [TrGD, D]
-    L, bad = _grouped_block_cholesky(A, cs['eye_t'], cs['P'], cs['C'],
-                                     tol_big * tol_big)
-    bad_blk = jnp.dot(cs['P'], bad, preferred_element_type=jnp.float32)
+        dot(dot(jnp.abs(diag), cs['Pbg']) / D, cs['PbgT']) + 1e-30)
+    tol = 1e-5 * jnp.sqrt(scale)                             # [1, GD]
+    tol_row = dot(tol, cs['TileTt'])                         # [1, N]
+    tol_sq = tol_row * tol_row
+    scale_row = dot(scale, cs['TileTt'])                     # [1, N]
+    A = dot(St, cs['TileTt']) \
+        + (cs['jit_row'] * scale_row) * cs['eyeTN']          # [D, N]
+    N = A.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1) % D
+    row = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
+    bad = jnp.zeros((1, N), dtype)
+    L = jnp.zeros_like(A)
+    for j in range(D):
+        cm_j = (row == j).astype(dtype)                      # [D, 1]
+        row_j = jnp.sum(A * cm_j, 0, keepdims=True)          # [1, N] = A[:,j]
+        piv_at = row_j * (lane == j).astype(dtype)           # pivots only
+        piv_sq = dot(dot(piv_at, cs['Pb']), cs['PbT'])       # block-bcast
+        bad = bad + (piv_sq <= tol_sq).astype(dtype)
+        piv = jnp.sqrt(jnp.maximum(piv_sq, 1e-30))
+        col = jnp.clip(row_j / piv, -1e18, 1e18) \
+            * (lane >= j).astype(dtype)                      # [1, N]
+        L = L + cm_j * col
+        if j + 1 < D:
+            # Schur update, block-diagonal: A[c, r] -= col[b(r)*D+c]*col[r]
+            colblock = jnp.zeros_like(A)
+            for c in range(D):
+                s_c = dot(dot(col, cs['SelCT'][c]), cs['PbT'])   # [1, N]
+                colblock = colblock + (row == c).astype(dtype) * s_c
+            A = A - colblock * col
+    bad_blk = dot(dot(bad, cs['Pb']), cs['PbT'])             # [1, N]
     BIG = jnp.asarray(3e38, dtype)
-    cand = jnp.where(bad_blk > 0, BIG, cs['jit'])            # [TrGD, 1]
-    # per-group min over tries: elementwise min of the Tr extracted slices
-    m_g = jnp.dot(cs['Sel'][0], cand, preferred_element_type=jnp.float32)
+    cand = jnp.where(bad_blk > 0, BIG, cs['jit_row'])        # [1, N]
+    m = dot(cand, cs['SelT'][0])                             # [1, GD]
     for t in range(1, max_tries):
-        m_g = jnp.minimum(m_g, jnp.dot(cs['Sel'][t], cand,
-                                       preferred_element_type=jnp.float32))
-    all_bad = (m_g >= BIG)                                   # [GD, 1]
-    sel_big = jnp.dot(TileT, m_g, preferred_element_type=jnp.float32)
+        m = jnp.minimum(m, dot(cand, cs['SelT'][t]))
+    all_bad = m >= BIG                                       # [1, GD]
+    sel_row = dot(m, cs['TileTt'])                           # [1, N]
     w = jax.lax.stop_gradient(
-        ((cs['jit'] == sel_big) & (bad_blk == 0)).astype(dtype))
-    L_sel = jnp.dot(cs['SelSum'], L * w,
-                    preferred_element_type=jnp.float32)      # [GD, D]
+        ((cs['jit_row'] == sel_row) & (bad_blk == 0)).astype(dtype))
+    L_sel = dot(L * w, cs['SelSumT'])                        # [D, GD]
     return jnp.where(all_bad, jnp.asarray(np.nan, dtype), L_sel)
+
+
+def _safe_cholesky_grouped(S, n_groups, cache, **kw):
+    """Rows-packed convenience wrapper ([G*D, D] -> [G*D, D]) over
+    :func:`_safe_cholesky_grouped_t` (tests / non-kernel callers; the
+    in-kernel resample path builds the lane-major St directly)."""
+    Lt = _safe_cholesky_grouped_t(jnp.transpose(S), n_groups, cache, **kw)
+    return jnp.transpose(Lt)
 
 
 def _mm_resample_grouped_kf(x, z_std, n_groups, cache):
@@ -397,17 +392,20 @@ def _mm_resample_grouped_kf(x, z_std, n_groups, cache):
     mu = jax.lax.dot_general(GI, m_g, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)   # [B, D]
     d = x - mu
-    # packed per-group covariance: rows g*D+i hold sum_b d[b,i] d[b,:] over
-    # the group's particles. TileD @ d^T tiles d's transpose per group
-    # (dot_general, no transpose op); IND masks to own-group particles.
+    # packed per-group covariance, LANE-MAJOR ([D, G*D]; the escalation's
+    # try-expanded transients lane-pad ~13x less in this layout — see
+    # _cholpackT_consts): St[j, g*D+i] = sum_{b in g} d[b,i] d[b,j].
+    # TileD @ d^T tiles d's transpose per group (dot_general, no transpose
+    # op); IND masks to own-group particles.
     Dt = jax.lax.dot_general(TileD, d, (((1,), (1,)), ((), ())))   # [GD, B]
-    S = jnp.dot(Dt * IND, d,
-                preferred_element_type=jnp.float32) / (Bg - 1)     # [GD, D]
-    L = _safe_cholesky_grouped(S, G, cache)
+    St = jax.lax.dot_general(d, Dt * IND, (((0,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) \
+        / (Bg - 1)                                                 # [D, GD]
+    Lt = _safe_cholesky_grouped_t(St, G, cache)                    # [D, GD]
     z = jax.lax.stop_gradient(z_std)
     # y[b, :] = z[b] @ L_g(b)^T: compute against ALL groups ([B, GD]), mask
     # to the particle's own block, collapse global->local columns via C
-    A = jax.lax.dot_general(z, L, (((1,), (1,)), ((), ())))        # [B, GD]
+    A = jnp.dot(z, Lt, preferred_element_type=jnp.float32)         # [B, GD]
     y = jnp.dot(A * Bm, C, preferred_element_type=jnp.float32)     # [B, D]
     return mu + y
 
@@ -524,7 +522,8 @@ def make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
             for d_ in dims:
                 if mm_groups:
                     _grouped_consts(B, d_, mm_groups, cache)
-                    _chol_consts(d_, mm_groups, cache)
+                    jitters = [float(1e-12 * 100.0 ** i) for i in range(8)]
+                    _cholpackT_consts(d_, mm_groups, 8, jitters, cache)
                 else:
                     _safe_cholesky_kf(jnp.zeros((d_, d_)), cache=cache)
         # accumulators stay [B, 1]: Mosaic rejects 1-D vector layouts
@@ -599,9 +598,24 @@ def make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
         aux = ()
         if value_update is not None:
             v_params, v_tgt, v_opt, v_stats, v_noise = extras
+            # Mosaic cannot lower `pow` with an INTEGER exponent ("expected
+            # floating point type"), which optax adam's bias correction
+            # (`decay ** count`, count int32) hits. Run the in-kernel
+            # update with a float32 step counter — optax.safe_increment
+            # supports float counts — and restore the external int32 dtype
+            # on the way out (exact for counts < 2^24).
+            def _f32_counts(t, ref=None):
+                return jax.tree_util.tree_map(
+                    lambda x, r=None: x.astype(jnp.float32)
+                    if x.dtype == jnp.int32 else x, t)
+
+            v_opt_in = _f32_counts(v_opt)
             vp2, vt2, vo2, v_loss = value_update.core(
-                v_params, v_tgt, v_opt, v_stats, sg(x0), sg(sH), sg(vret),
-                v_noise)
+                v_params, v_tgt, v_opt_in, v_stats, sg(x0), sg(sH),
+                sg(vret), v_noise)
+            vo2 = jax.tree_util.tree_map(
+                lambda x, r: x.astype(r.dtype) if x.dtype != r.dtype else x,
+                vo2, v_opt)
             # terminal bootstrap under the refit critic (params detached,
             # differentiable through the final states — `mc_pilco.py:137`)
             v_end = V.apply(jax.tree_util.tree_map(sg, vp2), v_stats,
@@ -663,19 +677,40 @@ def _trace_closed(impl, args):
         return impl(*jax.tree_util.tree_unflatten(in_tree, leaves))
 
     padded = [_pad2(jnp.asarray(a)) for a in flat]
-    closed_jaxpr, out_shape = jax.make_jaxpr(
-        impl_flat, return_shape=True)(*padded)
-    consts = [jnp.asarray(c) for c in closed_jaxpr.consts]
-    const_shapes = [c.shape for c in consts]
+    # trace under compile-time eval: when the caller is itself being jit-
+    # traced, constants minted during this inner trace would otherwise be
+    # lifted as OUTER-trace tracers (unhashable, un-dedupable); this keeps
+    # them concrete so they ship as ordinary kernel operands
+    with jax.ensure_compile_time_eval():
+        closed_jaxpr, out_shape = jax.make_jaxpr(
+            impl_flat, return_shape=True)(
+                *[jax.ShapeDtypeStruct(p.shape, p.dtype) for p in padded])
+    consts_all = [jnp.asarray(c) for c in closed_jaxpr.consts]
+    # Dedupe identical constants BY CONTENT: each _inline_checkpoint
+    # call-site's sub-trace lifts its own constvar for the same underlying
+    # array (T steps x the MM indicator masks), and every pallas operand
+    # slot is a separate VMEM staging buffer — the grouped G=10 kernel
+    # shipped 15 copies of its [400, 400] escalation constants and blew the
+    # 100 MB scoped-VMEM budget before this collapse.
+    uniq, index, seen = [], [], {}
+    for c in consts_all:
+        key = (c.shape, str(c.dtype), np.asarray(c).tobytes())
+        if key not in seen:
+            seen[key] = len(uniq)
+            uniq.append(c)
+        index.append(seen[key])
+    consts = uniq
+    const_shapes = [c.shape for c in consts_all]
     n_args = len(padded)
     out_leaves, out_tree = jax.tree_util.tree_flatten(out_shape)
 
     def closed(*vals_and_consts):
         # operands arrive 2-D-padded (Mosaic constraint); restore the
-        # consts' traced shapes before re-binding the jaxpr
+        # consts' traced shapes before re-binding the jaxpr, expanding the
+        # deduped operands back to one value per constvar position
         vals = vals_and_consts[:n_args]
-        cvals = [c.reshape(s) for c, s in
-                 zip(vals_and_consts[n_args:], const_shapes)]
+        cuniq = vals_and_consts[n_args:]
+        cvals = [cuniq[i].reshape(s) for i, s in zip(index, const_shapes)]
         out = jax.core.eval_jaxpr(closed_jaxpr.jaxpr, cvals, *vals)
         return tuple(out)
 
