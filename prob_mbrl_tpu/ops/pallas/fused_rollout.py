@@ -598,24 +598,37 @@ def make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
         aux = ()
         if value_update is not None:
             v_params, v_tgt, v_opt, v_stats, v_noise = extras
-            # Mosaic cannot lower `pow` with an INTEGER exponent ("expected
-            # floating point type"), which optax adam's bias correction
-            # (`decay ** count`, count int32) hits. Run the in-kernel
-            # update with a float32 step counter — optax.safe_increment
-            # supports float counts — and restore the external int32 dtype
-            # on the way out (exact for counts < 2^24).
-            def _f32_counts(t, ref=None):
-                return jax.tree_util.tree_map(
-                    lambda x, r=None: x.astype(jnp.float32)
-                    if x.dtype == jnp.int32 else x, t)
+            # Mosaic cannot lower optax adam's bias-correction pow in
+            # either of its scalar forms (`decay ** count`: int exponent ->
+            # "expected floating point type"; float scalar ->
+            # "failed to legalize math.powf"). As a [1, 1] float32 VECTOR
+            # the pow lowers through the VPU's exp/log path, so run the
+            # in-kernel update with the step counter reshaped/cast to
+            # [1, 1] f32 (optax.safe_increment and the bias-correction
+            # broadcasts are shape/dtype-agnostic) and restore the external
+            # int32 scalar on the way out (exact for counts < 2^24).
+            def _vecf(x):
+                if x.dtype == jnp.int32 and x.ndim == 0:
+                    return x.astype(jnp.float32).reshape(1, 1)
+                return x
 
-            v_opt_in = _f32_counts(v_opt)
+            v_opt_in = jax.tree_util.tree_map(_vecf, v_opt)
             vp2, vt2, vo2, v_loss = value_update.core(
                 v_params, v_tgt, v_opt_in, v_stats, sg(x0), sg(sH),
                 sg(vret), v_noise)
-            vo2 = jax.tree_util.tree_map(
-                lambda x, r: x.astype(r.dtype) if x.dtype != r.dtype else x,
-                vo2, v_opt)
+
+            # the [1, 1] bias-correction terms broadcast every updated leaf
+            # to rank >= 2; restore the reference shapes/dtypes (a pure
+            # reshape — the broadcast is numerically a no-op)
+            def _like(t, ref):
+                return jax.tree_util.tree_map(
+                    lambda x, r: (x.reshape(r.shape).astype(r.dtype)
+                                  if (x.dtype, x.shape) !=
+                                  (r.dtype, r.shape) else x), t, ref)
+
+            vp2 = _like(vp2, v_params)
+            vt2 = _like(vt2, v_tgt)
+            vo2 = _like(vo2, v_opt)
             # terminal bootstrap under the refit critic (params detached,
             # differentiable through the final states — `mc_pilco.py:137`)
             v_end = V.apply(jax.tree_util.tree_map(sg, vp2), v_stats,
