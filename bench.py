@@ -210,8 +210,8 @@ def main():
                     help='measure the whole BASELINE.md table')
     ap.add_argument('--variants', action='store_true',
                     help='measure the round-5 widened fused configs: '
-                         'learned reward, with-value, grouped MM, and the '
-                         'B=4096 remat kernel')
+                         'learned reward, with-value, grouped MM, the '
+                         'B=1024 grid kernel and the B=4096 XLA corner')
     ap.add_argument('--profile', default=None, metavar='DIR',
                     help='capture a jax.profiler trace of one launch')
     ap.add_argument("--unroll", type=int, default=None,
@@ -247,10 +247,10 @@ def main():
              dict(mm_method='none', use_value=True)),
             ('mc_pilco_cholesky_B100_groups10',
              dict(mm_method='cholesky', mm_groups=10)),
-            ('mc_pilco_cholesky_B4096_remat',
+            ('mc_pilco_cholesky_B1024_grid',
+             dict(mm_method='cholesky', n_particles=1024)),
+            ('mc_pilco_cholesky_B4096',
              dict(mm_method='cholesky', n_particles=4096)),
-            ('mc_pilco_none_B4096_remat',
-             dict(mm_method='none', n_particles=4096)),
         ]
         for name, kw in rows:
             B = kw.pop('n_particles', 100)

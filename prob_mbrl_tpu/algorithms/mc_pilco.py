@@ -255,7 +255,7 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
                           'to the XLA rollout path.', stacklevel=2)
     _fr_kwargs = dict(mm_groups=cfg.mm_groups,
                       value_update=value_update, w_H=w_H,
-                      remat=_fused_mode == 'remat',
+                      mode=_fused_mode,
                       interpret=not _on_tpu)
     fused_loss = (_fr.make_fused_loss(dyn, pol, cfg.steps, w_t,
                                       cfg.mm_states, cfg.mm_rewards,
@@ -269,7 +269,7 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
         fused_vg = _fr.make_fused_sharded_value_and_grad(
             dyn, pol, cfg.steps, w_t, cfg.mm_states, cfg.mm_rewards,
             cfg.maximize, mesh=mesh, particle_axis=particle_axis,
-            mm_groups=cfg.mm_groups, remat=_fused_mode == 'remat',
+            mm_groups=cfg.mm_groups, mode=_fused_mode,
             interpret=not _on_tpu)
     elif _use_fused:
         fused_vg = _fr.make_fused_value_and_grad(

@@ -735,7 +735,7 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 
 def make_fused_loss(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
                     mm_groups=None, value_update=None, w_H=None,
-                    remat=False, interpret=False):
+                    remat=False, interpret=False, mode=None):
     """Build the pallas-fused (loss, mean_return, aux) function, custom VJP.
 
     Returns ``fused(pol_params, x0, dyn_params, dyn_stats, dyn_noise,
@@ -744,10 +744,30 @@ def make_fused_loss(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
     mean_return outputs (all other cotangents are zeros — exactly the
     arguments `algorithms/mc_pilco.py`'s loss differentiates). ``aux``
     (the value-update outputs) is non-differentiable.
+
+    ``mode`` selects the kernel tier (see :func:`fused_mode`): ``'full'``
+    (whole rollout, all residuals in VMEM), ``'remat'`` (whole rollout,
+    in-kernel per-step checkpoint — compile-fragile above B*T ~ 4k, kept
+    for tests/forcing), ``'step'`` (per-step kernels under a scan — the
+    large-batch production tier). ``remat=True`` is legacy for
+    ``mode='remat'``.
     """
+    if mode is None:
+        mode = 'remat' if remat else 'full'
+    if mode == 'step':
+        return make_stepwise_loss(dyn, pol, steps, w_t, mm_states,
+                                  mm_rewards, maximize, mm_groups=mm_groups,
+                                  value_update=value_update, w_H=w_H,
+                                  interpret=interpret)
+    if mode == 'grid':
+        return make_grid_loss(dyn, pol, steps, w_t, mm_states, mm_rewards,
+                              maximize, mm_groups=mm_groups,
+                              value_update=value_update, w_H=w_H,
+                              interpret=interpret)
     impl = make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards,
                           maximize, mm_groups=mm_groups,
-                          value_update=value_update, w_H=w_H, remat=remat)
+                          value_update=value_update, w_H=w_H,
+                          remat=mode == 'remat')
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
@@ -860,7 +880,8 @@ def make_fused_loss(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
 
 def make_fused_value_and_grad(dyn, pol, steps, w_t, mm_states, mm_rewards,
                               maximize, mm_groups=None, value_update=None,
-                              w_H=None, remat=False, interpret=False):
+                              w_H=None, remat=False, interpret=False,
+                              mode=None):
     """ONE kernel per optimizer iteration: (loss, mean_return, grads, aux).
 
     ``jax.value_and_grad`` over the custom-vjp pair runs TWO kernels (a
@@ -875,9 +896,22 @@ def make_fused_value_and_grad(dyn, pol, steps, w_t, mm_states, mm_rewards,
     grads_pytree, aux)``. Not differentiable (the optimizer consumes the
     grads directly).
     """
+    if mode is None:
+        mode = 'remat' if remat else 'full'
+    if mode == 'step':
+        return make_stepwise_value_and_grad(
+            dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
+            mm_groups=mm_groups, value_update=value_update, w_H=w_H,
+            interpret=interpret)
+    if mode == 'grid':
+        return make_grid_value_and_grad(
+            dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
+            mm_groups=mm_groups, value_update=value_update, w_H=w_H,
+            interpret=interpret)
     impl = make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards,
                           maximize, mm_groups=mm_groups,
-                          value_update=value_update, w_H=w_H, remat=remat)
+                          value_update=value_update, w_H=w_H,
+                          remat=mode == 'remat')
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -950,7 +984,8 @@ def make_fused_value_and_grad(dyn, pol, steps, w_t, mm_states, mm_rewards,
 def make_fused_sharded_value_and_grad(dyn, pol, steps, w_t, mm_states,
                                       mm_rewards, maximize, mesh,
                                       particle_axis, mm_groups=None,
-                                      remat=False, interpret=False):
+                                      remat=False, interpret=False,
+                                      mode=None):
     """Compose the fused kernel with a device mesh: shard_map over particles.
 
     Composition contract (from the reference's own grouped-MM semantics,
@@ -984,7 +1019,7 @@ def make_fused_sharded_value_and_grad(dyn, pol, steps, w_t, mm_states,
     g_local = mm_groups // n_dev if mm_groups else None
     local_vg = make_fused_value_and_grad(
         dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
-        mm_groups=g_local, remat=remat, interpret=interpret)
+        mm_groups=g_local, remat=remat, interpret=interpret, mode=mode)
 
     def _local(pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
                z_mm_t, z_rr_t, action_eps, extras):
@@ -1006,6 +1041,610 @@ def make_fused_sharded_value_and_grad(dyn, pol, steps, w_t, mm_states,
 
     def fused_vg(*args):
         return sharded(*_norm_args(args))
+
+    return fused_vg
+
+
+# ---------------------------------------------------------------------------
+# Stepwise tier: one fused kernel PER ROLLOUT STEP under a lax.scan
+# ---------------------------------------------------------------------------
+
+def make_step_impl(dyn, pol, mm_states, mm_rewards, mm_groups=None):
+    """Single-rollout-step impl: ``(nxt, r) = step(pol_params, states, ...)``.
+
+    Same math as one iteration of :func:`make_loss_impl`'s step loop
+    (policy -> dynamics -> reward-on-pre-MM-states -> MM resample,
+    `utils/rollout.py:130-311`), factored to per-step granularity so it can
+    be wrapped in a per-step Pallas kernel. The MM constant cache is
+    populated inside the trace; :func:`_trace_closed` hoists the minted
+    constants into explicit kernel operands.
+    """
+    learn_reward = dyn.reward_func is None
+
+    def step_impl(pol_params, states, z_mm_s, z_rr_s, eps_s, dyn_params,
+                  dyn_stats, dyn_noise, pol_noise):
+        B = states.shape[0]
+        cache = {}
+        if mm_states or mm_rewards:
+            dims = ([states.shape[-1]] if mm_states else []) \
+                + ([1] if mm_rewards else [])
+            for d_ in dims:
+                if mm_groups:
+                    _grouped_consts(B, d_, mm_groups, cache)
+                    jitters = [float(1e-12 * 100.0 ** i) for i in range(8)]
+                    _cholpackT_consts(d_, mm_groups, 8, jitters, cache)
+                else:
+                    _safe_cholesky_kf(jnp.zeros((d_, d_)), cache=cache)
+
+        def resample(v, z):
+            if mm_groups:
+                return _mm_resample_grouped_kf(v, z, mm_groups, cache)
+            return _mm_resample_kf(v, z, cache)
+
+        acts = pol.apply(pol_params, states, pol_noise,
+                         return_samples=True)
+        acts = acts + eps_s
+        if learn_reward:
+            nxt, r = dyn.apply(dyn_params, dyn_stats, states, acts,
+                               dyn_noise, return_samples=True,
+                               separate_outputs=True, deltas=False)
+        else:
+            nxt = dyn.apply(dyn_params, dyn_stats, states, acts, dyn_noise,
+                            return_samples=True, separate_outputs=True,
+                            deltas=False, with_rewards=False)
+            r = dyn.reward_func(nxt, acts)
+        if mm_states:
+            nxt = resample(nxt, z_mm_s)
+        if mm_rewards:
+            r = resample(r, z_rr_s)
+        return nxt, r
+
+    return step_impl
+
+
+def make_fused_step(dyn, pol, mm_states, mm_rewards, mm_groups=None,
+                    interpret=False):
+    """Pallas-fused single rollout step with a checkpointing custom VJP.
+
+    Forward: one kernel computing ``(nxt, r)``. Backward: one kernel that
+    RECOMPUTES the step from its inputs and applies ``jax.vjp`` in-kernel —
+    residuals are exactly the step inputs, so the in-kernel liveness is one
+    step's activations regardless of the batch size. This is what admits
+    arbitrarily large particle counts into the fused regime: the monolithic
+    whole-rollout kernel's register allocator spilled ~200 MB of VMEM at
+    B=1000 (all T steps' activations live), while the per-step kernel's
+    working set is O(B * layer widths) and the horizon runs as a
+    ``lax.scan`` of kernel invocations (one Mosaic compile, T launches).
+
+    Differentiable w.r.t. ``pol_params``, ``states`` (the scan carry
+    cotangent chain) and ``eps_s``; all other cotangents are zeros.
+    """
+    impl = make_step_impl(dyn, pol, mm_states, mm_rewards, mm_groups)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+    def _fwd_pallas(args):
+        closed, padded, consts, out_leaves, out_tree = _trace_closed(impl,
+                                                                     args)
+        n_in = len(padded)
+
+        def fwd_kernel(*refs):
+            in_refs = refs[:n_in + len(consts)]
+            out_refs = refs[n_in + len(consts):]
+            vals = [r[:] for r in in_refs]
+            outs = closed(*vals)
+            for r, o in zip(out_refs, outs):
+                _write(r, o)
+
+        outs = pl.pallas_call(
+            fwd_kernel,
+            out_shape=tuple(jax.ShapeDtypeStruct(_pad2_shape(o.shape),
+                                                 o.dtype)
+                            for o in out_leaves),
+            in_specs=[vmem] * (n_in + len(consts)),
+            out_specs=tuple([vmem] * len(out_leaves)),
+            compiler_params=cparams,
+            interpret=interpret,
+        )(*padded, *[_pad2(c) for c in consts])
+        outs = [o.reshape(l.shape) for o, l in zip(outs, out_leaves)]
+        return jax.tree_util.tree_unflatten(out_tree, outs)
+
+    def _bwd_pallas(args, g_nxt, g_r):
+        closed, padded, consts, out_leaves, _ = _trace_closed(impl, args)
+        n_in = len(padded)
+        pol_flat, _ = jax.tree_util.tree_flatten(args[0])
+        n_pol = len(pol_flat)
+        # diff wrt pol leaves + states + eps_s (flat arg order:
+        # pol leaves, states, z_mm_s, z_rr_s, eps_s, ...)
+        diff_idx = list(range(n_pol)) + [n_pol, n_pol + 3]
+
+        def bwd_kernel(*refs):
+            in_refs = refs[:n_in + len(consts)]
+            gn_ref, gr_ref = refs[n_in + len(consts):n_in + len(consts) + 2]
+            out_refs = refs[n_in + len(consts) + 2:]
+            vals = [r[:] for r in in_refs]
+
+            def outs_of(diff_vals):
+                v = list(vals)
+                for k, i in enumerate(diff_idx):
+                    v[i] = diff_vals[k]
+                return closed(*v)
+
+            _, vjp = jax.vjp(outs_of, [vals[i] for i in diff_idx])
+            grads, = vjp((gn_ref[:].reshape(out_leaves[0].shape),
+                          gr_ref[:].reshape(out_leaves[1].shape)))
+            for r, g in zip(out_refs, grads):
+                r[:] = g
+
+        outs = pl.pallas_call(
+            bwd_kernel,
+            out_shape=tuple(jax.ShapeDtypeStruct(padded[i].shape,
+                                                 padded[i].dtype)
+                            for i in diff_idx),
+            in_specs=[vmem] * (n_in + len(consts) + 2),
+            out_specs=tuple([vmem] * len(diff_idx)),
+            compiler_params=cparams,
+            interpret=interpret,
+        )(*padded, *[_pad2(c) for c in consts],
+          _pad2(jnp.asarray(g_nxt)), _pad2(jnp.asarray(g_r)))
+        return outs
+
+    @jax.custom_vjp
+    def step9(pol_params, states, z_mm_s, z_rr_s, eps_s, dyn_params,
+              dyn_stats, dyn_noise, pol_noise):
+        return _fwd_pallas((pol_params, states, z_mm_s, z_rr_s, eps_s,
+                            dyn_params, dyn_stats, dyn_noise, pol_noise))
+
+    def step_fwd(*args):
+        return _fwd_pallas(args), args
+
+    def step_bwd(args, g):
+        g_nxt, g_r = g
+        outs = _bwd_pallas(args, g_nxt, g_r)
+        pol_flat, pol_tree = jax.tree_util.tree_flatten(args[0])
+        n_pol = len(pol_flat)
+        gpol = jax.tree_util.tree_unflatten(
+            pol_tree, [o.reshape(p.shape)
+                       for o, p in zip(outs[:n_pol], pol_flat)])
+        g_states = outs[n_pol].reshape(args[1].shape)
+        g_eps = outs[n_pol + 1].reshape(args[4].shape)
+        zeros_mid = (jnp.zeros_like(args[2]), jnp.zeros_like(args[3]))
+        zeros_tail = tuple(jax.tree_util.tree_map(jnp.zeros_like, a)
+                           for a in args[5:])
+        return (gpol, g_states) + zeros_mid + (g_eps,) + zeros_tail
+
+    step9.defvjp(step_fwd, step_bwd)
+    return step9
+
+
+def make_stepwise_loss(dyn, pol, steps, w_t, mm_states, mm_rewards,
+                       maximize, mm_groups=None, value_update=None,
+                       w_H=None, interpret=False):
+    """Stepwise-fused ``(loss, mean_return, aux)`` — same contract as
+    :func:`make_fused_loss` but built as a ``lax.scan`` of per-step fused
+    kernels instead of one monolithic kernel.
+
+    The return accumulation, TD(H) critic refit and terminal value
+    bootstrap run as plain XLA ops BETWEEN kernels (they are tiny [B, 1] /
+    critic-sized computations — the per-op-latency problem the fused path
+    solves lives in the per-step MLP/MM chain, which stays in-kernel).
+    Semantics identical to :func:`make_loss_impl`
+    (`algorithms/mc_pilco.py` loss_fn; reference
+    `prob_mbrl/utils/rollout.py:93-153`, `mc_pilco.py:120-140`).
+    """
+    step = make_fused_step(dyn, pol, mm_states, mm_rewards, mm_groups,
+                           interpret=interpret)
+    w_list = [float(w) for w in np.asarray(w_t)]
+    if value_update is not None:
+        v_wlist = [float(w) for w in np.asarray(value_update.w_t)]
+        v_H = value_update.H
+        V = value_update.spec
+
+    def loss_fn(*args):
+        (pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
+         z_mm_t, z_rr_t, action_eps, extras) = _norm_args(args)
+        B = x0.shape[0]
+        sg = jax.lax.stop_gradient
+        w_arr = jnp.asarray(w_list, x0.dtype)
+        vw = np.zeros(steps)
+        if value_update is not None:
+            vw[:v_H] = v_wlist[:v_H]
+        vw_arr = jnp.asarray(vw, x0.dtype)
+        zeros = jnp.zeros((B, 1), x0.dtype)
+
+        def body(carry, xs):
+            states, disc, raw, vret = carry
+            z_mm_s, z_rr_s, eps_s, w, vwt = xs
+            nxt, r = step(pol_params, states, z_mm_s, z_rr_s, eps_s,
+                          dyn_params, dyn_stats, dyn_noise, pol_noise)
+            carry = (nxt, disc + w * r, raw + r, vret + vwt * r)
+            return carry, (nxt if value_update is not None else None)
+
+        (states, disc, raw, vret), ys = jax.lax.scan(
+            body, (x0, zeros, zeros, zeros),
+            (z_mm_t, z_rr_t, action_eps, w_arr, vw_arr))
+
+        aux = ()
+        if value_update is not None:
+            v_params, v_tgt, v_opt, v_stats, v_noise = extras
+            sH = ys[v_H - 1]
+            vp2, vt2, vo2, v_loss = value_update.core(
+                v_params, v_tgt, v_opt, v_stats, sg(x0), sg(sH),
+                sg(vret), v_noise)
+            # terminal bootstrap under the refit critic (params detached,
+            # differentiable through the final states — `mc_pilco.py:137`)
+            v_end = V.apply(jax.tree_util.tree_map(sg, vp2), v_stats,
+                            states, v_noise, return_samples=True)
+            disc = disc + float(w_H) * v_end
+            aux = (vp2, vt2, vo2, v_loss)
+
+        loss = jnp.mean(disc)
+        if maximize:
+            loss = -loss
+        return loss, jnp.mean(raw), aux
+
+    return loss_fn
+
+
+def make_stepwise_value_and_grad(dyn, pol, steps, w_t, mm_states,
+                                 mm_rewards, maximize, mm_groups=None,
+                                 value_update=None, w_H=None,
+                                 interpret=False):
+    """Stepwise counterpart of :func:`make_fused_value_and_grad`.
+
+    ``jax.value_and_grad`` over the stepwise loss: the forward scan runs T
+    fwd kernels, the backward scan T bwd kernels (each recomputing its step
+    — checkpoint residuals are the step inputs, so no [T, B, width]
+    residual stacks ever hit HBM). Same return contract:
+    ``(loss, mean_return, grads, aux)``.
+    """
+    loss_fn = make_stepwise_loss(dyn, pol, steps, w_t, mm_states,
+                                 mm_rewards, maximize, mm_groups=mm_groups,
+                                 value_update=value_update, w_H=w_H,
+                                 interpret=interpret)
+
+    def fused_vg(*args):
+        args = _norm_args(args)
+
+        def lf(pol_params):
+            loss, mret, aux = loss_fn(pol_params, *args[1:])
+            return loss, (mret, aux)
+
+        (loss, (mret, aux)), grads = jax.value_and_grad(
+            lf, has_aux=True)(args[0])
+        return loss, mret, grads, aux
+
+    return fused_vg
+
+
+# ---------------------------------------------------------------------------
+# Grid tier: whole rollout as ONE pallas_call with grid=(T,), carry in VMEM
+# scratch — the large-batch production tier
+# ---------------------------------------------------------------------------
+#
+# Why a grid and not a scan of per-step kernels ('step' mode): each
+# pallas_call costs ~30 us of fixed dispatch on this runtime, so 30
+# launches/iteration cap B=1000 at ~13M particle-steps/s (slower than the
+# XLA path's 17M). With grid=(T,) the T steps run as the kernel's own
+# sequential loop: weights/masks/consts are VMEM-resident across steps
+# (fetched once), only the per-step noise slices stream, and one iteration
+# is 2 launches total (fwd grid + bwd grid). Why not the monolithic
+# unrolled kernel ('full'/'remat'): its T-step unrolled body holds all
+# steps' activations live through the in-kernel backward — Mosaic's
+# register allocator spilled 200 MB of VMEM at B=1000 — while the grid
+# body is ONE step's program, so liveness is bounded at any batch size.
+
+def _smem_scalar(x):
+    return jnp.asarray(x, jnp.float32).reshape(-1, 1)
+
+
+def make_grid_rollout(dyn, pol, steps, mm_states, mm_rewards,
+                      mm_groups=None, interpret=False):
+    """Grid-pipelined differentiable rollout.
+
+    Returns ``rollout9(pol_params, x0, z_mm_t, z_rr_t, action_eps,
+    dyn_params, dyn_stats, dyn_noise, pol_noise, w_t, vw_t) ->
+    (disc, raw, vret, states_all)`` where ``disc[b] = sum_t w_t r_t[b]``,
+    ``raw[b] = sum_t r_t[b]``, ``vret[b] = sum_t vw_t r_t[b]`` and
+    ``states_all[t]`` is the post-MM state after step t. Differentiable
+    w.r.t. ``pol_params``, ``action_eps`` and all four outputs (the
+    backward grid kernel folds the per-output cotangents into one
+    reverse sweep; ``states_all`` cotangents join the carry chain, which
+    is how the terminal value bootstrap's gradient enters).
+    """
+    impl = make_step_impl(dyn, pol, mm_states, mm_rewards, mm_groups)
+    # the grid body is one step's program; at B=4096 the bwd body's
+    # recompute+vjp stack measured 104.4 MB — give the grid kernels the
+    # chip's real headroom (128 MB VMEM) instead of the default 100 MB cap
+    grid_params = pltpu.CompilerParams(
+        vmem_limit_bytes=120 * 1024 * 1024,
+        dimension_semantics=('arbitrary',))
+    T = steps
+
+    def _specs(args):
+        """Trace the step impl; build operand lists shared by fwd/bwd.
+
+        Flat step-arg order (see :func:`make_step_impl`): pol leaves,
+        states, z_mm_s, z_rr_s, eps_s, dyn/stats/noise leaves. The
+        per-step leaves (states, z_mm_s, z_rr_s, eps_s) are replaced by
+        grid-blocked stacks / the scratch carry; everything else is a
+        whole-array VMEM operand fetched once.
+        """
+        (pol_params, x0, z_mm_t, z_rr_t, eps_t, dyn_params, dyn_stats,
+         dyn_noise, pol_noise) = args
+        step_args = (pol_params, x0, z_mm_t[0], z_rr_t[0], eps_t[0],
+                     dyn_params, dyn_stats, dyn_noise, pol_noise)
+        closed, padded, consts, out_leaves, _ = _trace_closed(impl,
+                                                              step_args)
+        n_pol = len(jax.tree_util.tree_flatten(pol_params)[0])
+        return closed, padded, consts, out_leaves, n_pol
+
+    vmem_whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_whole = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def _blk(stack, rev=False):
+        _, B_, D_ = stack.shape
+        if rev:
+            return pl.BlockSpec((1, B_, D_), lambda t: (T - 1 - t, 0, 0))
+        return pl.BlockSpec((1, B_, D_), lambda t: (t, 0, 0))
+
+    def _fwd_pallas(args, w_t, vw_t):
+        closed, padded, consts, out_leaves, n_pol = _specs(args)
+        (pol_params, x0, z_mm_t, z_rr_t, eps_t, *_rest) = args
+        B, D = x0.shape
+        x0p = _pad2(jnp.asarray(x0))
+        rest = padded[:n_pol] + padded[n_pol + 4:]  # drop per-step leaves
+        n_rest = len(rest)
+        n_const = len(consts)
+        dt = x0p.dtype
+
+        def fwd_kernel(*refs):
+            (rest_refs, const_refs, x0_ref, zmm_ref, zrr_ref, eps_ref,
+             w_ref, vw_ref) = (refs[:n_rest],
+                               refs[n_rest:n_rest + n_const],
+                               *refs[n_rest + n_const:n_rest + n_const + 6])
+            sall_ref, disc_ref, raw_ref, vret_ref = \
+                refs[n_rest + n_const + 6:n_rest + n_const + 10]
+            state_s, = refs[n_rest + n_const + 10:]
+            t = pl.program_id(0)
+
+            @pl.when(t == 0)
+            def _init():
+                state_s[:] = x0_ref[:]
+                disc_ref[:] = jnp.zeros_like(disc_ref)
+                raw_ref[:] = jnp.zeros_like(raw_ref)
+                vret_ref[:] = jnp.zeros_like(vret_ref)
+
+            rest_vals = [r[:] for r in rest_refs]
+            const_vals = [r[:] for r in const_refs]
+            vals = (rest_vals[:n_pol]
+                    + [state_s[:],
+                       zmm_ref[:].reshape(zmm_ref.shape[1:]),
+                       zrr_ref[:].reshape(zrr_ref.shape[1:]),
+                       eps_ref[:].reshape(eps_ref.shape[1:])]
+                    + rest_vals[n_pol:])
+            nxt, r = closed(*vals, *const_vals)
+            state_s[:] = nxt
+            sall_ref[:] = nxt.reshape(sall_ref.shape)
+            w = w_ref[t, 0]
+            vw = vw_ref[t, 0]
+            disc_ref[:] += (w * r).astype(disc_ref.dtype)
+            raw_ref[:] += r.astype(raw_ref.dtype)
+            vret_ref[:] += (vw * r).astype(vret_ref.dtype)
+
+        outs = pl.pallas_call(
+            fwd_kernel,
+            grid=(T,),
+            out_shape=(jax.ShapeDtypeStruct((T, B, D), dt),
+                       jax.ShapeDtypeStruct((B, 1), dt),
+                       jax.ShapeDtypeStruct((B, 1), dt),
+                       jax.ShapeDtypeStruct((B, 1), dt)),
+            in_specs=[vmem_whole] * (n_rest + n_const)
+            + [vmem_whole, _blk(z_mm_t), _blk(z_rr_t), _blk(eps_t),
+               smem_whole, smem_whole],
+            out_specs=(_blk(jnp.zeros((T, B, D), dt)),
+                       pl.BlockSpec((B, 1), lambda t: (0, 0)),
+                       pl.BlockSpec((B, 1), lambda t: (0, 0)),
+                       pl.BlockSpec((B, 1), lambda t: (0, 0))),
+            scratch_shapes=[pltpu.VMEM((B, D), dt)],
+            compiler_params=grid_params,
+            interpret=interpret,
+        )(*rest, *[_pad2(c) for c in consts], x0p, z_mm_t, z_rr_t, eps_t,
+          _smem_scalar(w_t), _smem_scalar(vw_t))
+        return outs  # (states_all, disc, raw, vret)
+
+    def _bwd_pallas(args):
+        closed, padded, consts, out_leaves, n_pol = _specs(args)
+        (pol_params, x0, z_mm_t, z_rr_t, eps_t, *_rest) = args
+        B, D = x0.shape
+        U = eps_t.shape[-1]
+        rest = padded[:n_pol] + padded[n_pol + 4:]
+        n_rest = len(rest)
+        n_const = len(consts)
+        dt = jnp.asarray(x0).dtype
+        # diff wrt pol leaves + states + eps_s in the step-arg flat order
+        diff_idx = list(range(n_pol)) + [n_pol, n_pol + 3]
+
+        def bwd_kernel(*refs):
+            (rest_refs, const_refs) = (refs[:n_rest],
+                                       refs[n_rest:n_rest + n_const])
+            (xpre_ref, zmm_ref, zrr_ref, eps_ref, gsall_ref, gd_ref,
+             gr_ref, gv_ref, w_ref, vw_ref) = \
+                refs[n_rest + n_const:n_rest + n_const + 10]
+            gpol_refs = refs[n_rest + n_const + 10:
+                             n_rest + n_const + 10 + n_pol]
+            geps_ref = refs[n_rest + n_const + 10 + n_pol]
+            gstate_s, = refs[n_rest + n_const + 11 + n_pol:]
+            ti = pl.program_id(0)         # grid index; real step T-1-ti
+            t = T - 1 - ti
+
+            @pl.when(ti == 0)
+            def _init():
+                gstate_s[:] = jnp.zeros_like(gstate_s)
+                for gp in gpol_refs:
+                    gp[:] = jnp.zeros_like(gp)
+
+            rest_vals = [r[:] for r in rest_refs]
+            const_vals = [r[:] for r in const_refs]
+            vals = (rest_vals[:n_pol]
+                    + [xpre_ref[:].reshape(xpre_ref.shape[1:]),
+                       zmm_ref[:].reshape(zmm_ref.shape[1:]),
+                       zrr_ref[:].reshape(zrr_ref.shape[1:]),
+                       eps_ref[:].reshape(eps_ref.shape[1:])]
+                    + rest_vals[n_pol:])
+
+            def outs_of(diff_vals):
+                v = list(vals)
+                for k, i in enumerate(diff_idx):
+                    v[i] = diff_vals[k]
+                return closed(*v, *const_vals)
+
+            _, vjp = jax.vjp(outs_of, [vals[i] for i in diff_idx])
+            # cotangent of nxt: carry chain + this step's states_all slice
+            g_nxt = gstate_s[:] + gsall_ref[:].reshape(gstate_s.shape)
+            w = w_ref[t, 0]
+            vw = vw_ref[t, 0]
+            g_r = (w * gd_ref[:] + gr_ref[:] + vw * gv_ref[:]).astype(dt)
+            grads, = vjp((g_nxt.astype(out_leaves[0].dtype),
+                          g_r.reshape(out_leaves[1].shape)))
+            for gp, g in zip(gpol_refs, grads[:n_pol]):
+                gp[:] += g
+            gstate_s[:] = grads[n_pol]
+            geps_ref[:] = grads[n_pol + 1].reshape(geps_ref.shape)
+
+        outs = pl.pallas_call(
+            bwd_kernel,
+            grid=(T,),
+            out_shape=tuple(jax.ShapeDtypeStruct(p.shape, p.dtype)
+                            for p in padded[:n_pol])
+            + (jax.ShapeDtypeStruct((T, B, U), dt),),
+            in_specs=[vmem_whole] * (n_rest + n_const)
+            + [_blk(jnp.zeros((T, B, D), dt), rev=True),
+               _blk(z_mm_t, rev=True), _blk(z_rr_t, rev=True),
+               _blk(eps_t, rev=True),
+               _blk(jnp.zeros((T, B, D), dt), rev=True),
+               vmem_whole, vmem_whole, vmem_whole,
+               smem_whole, smem_whole],
+            out_specs=tuple(pl.BlockSpec(p.shape, lambda t: (0, 0))
+                            for p in padded[:n_pol])
+            + (pl.BlockSpec((1, B, U), lambda t: (T - 1 - t, 0, 0)),),
+            scratch_shapes=[pltpu.VMEM((B, D), dt)],
+            compiler_params=grid_params,
+            interpret=interpret,
+        )
+        return outs, rest, consts, n_pol
+
+    @jax.custom_vjp
+    def rollout9(pol_params, x0, z_mm_t, z_rr_t, eps_t, dyn_params,
+                 dyn_stats, dyn_noise, pol_noise, w_t, vw_t):
+        sall, disc, raw, vret = _fwd_pallas(
+            (pol_params, x0, z_mm_t, z_rr_t, eps_t, dyn_params, dyn_stats,
+             dyn_noise, pol_noise), w_t, vw_t)
+        return disc, raw, vret, sall
+
+    def roll_fwd(*args):
+        sall, disc, raw, vret = _fwd_pallas(args[:9], args[9], args[10])
+        return (disc, raw, vret, sall), (args, sall)
+
+    def roll_bwd(res, g):
+        args, sall = res
+        g_disc, g_raw, g_vret, g_sall = [jnp.asarray(x) for x in g]
+        (pol_params, x0, z_mm_t, z_rr_t, eps_t, dyn_params, dyn_stats,
+         dyn_noise, pol_noise, w_t, vw_t) = args
+        x_pre = jnp.concatenate([x0[None], sall[:-1]], 0)
+        call, rest, consts, n_pol = _bwd_pallas(args[:9])
+        outs = call(*rest, *[_pad2(c) for c in consts],
+                    x_pre, z_mm_t, z_rr_t, eps_t, g_sall,
+                    g_disc.astype(jnp.float32),
+                    g_raw.astype(jnp.float32),
+                    g_vret.astype(jnp.float32),
+                    _smem_scalar(w_t), _smem_scalar(vw_t))
+        pol_flat, pol_tree = jax.tree_util.tree_flatten(pol_params)
+        gpol = jax.tree_util.tree_unflatten(
+            pol_tree, [o.reshape(p.shape)
+                       for o, p in zip(outs[:n_pol], pol_flat)])
+        g_eps = outs[n_pol].reshape(eps_t.shape)
+        zeros = tuple(jax.tree_util.tree_map(jnp.zeros_like, a)
+                      for a in (x0, z_mm_t, z_rr_t))
+        ztail = tuple(jax.tree_util.tree_map(jnp.zeros_like, a)
+                      for a in (dyn_params, dyn_stats, dyn_noise,
+                                pol_noise, w_t, vw_t))
+        return (gpol,) + zeros + (g_eps,) + ztail
+
+    rollout9.defvjp(roll_fwd, roll_bwd)
+    return rollout9
+
+
+def make_grid_loss(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
+                   mm_groups=None, value_update=None, w_H=None,
+                   interpret=False):
+    """Grid-tier ``(loss, mean_return, aux)`` — contract of
+    :func:`make_fused_loss`, built on :func:`make_grid_rollout` (2 kernel
+    launches per loss+grad evaluation at any batch size).
+
+    Return accumulation happens IN the forward grid kernel (VMEM
+    accumulators); the TD(H) critic refit and terminal bootstrap run as
+    plain XLA on the kernel's outputs, exactly like the 'step' tier.
+    """
+    rollout9 = make_grid_rollout(dyn, pol, steps, mm_states, mm_rewards,
+                                 mm_groups=mm_groups, interpret=interpret)
+    w_list = [float(w) for w in np.asarray(w_t)]
+    if value_update is not None:
+        v_wlist = [float(w) for w in np.asarray(value_update.w_t)]
+        v_H = value_update.H
+        V = value_update.spec
+
+    def loss_fn(*args):
+        (pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
+         z_mm_t, z_rr_t, action_eps, extras) = _norm_args(args)
+        sg = jax.lax.stop_gradient
+        vw = np.zeros(steps)
+        if value_update is not None:
+            vw[:v_H] = v_wlist[:v_H]
+        disc, raw, vret, sall = rollout9(
+            pol_params, x0, z_mm_t, z_rr_t, action_eps, dyn_params,
+            dyn_stats, dyn_noise, pol_noise,
+            jnp.asarray(w_list, jnp.float32), jnp.asarray(vw, jnp.float32))
+
+        aux = ()
+        if value_update is not None:
+            v_params, v_tgt, v_opt, v_stats, v_noise = extras
+            sH = sall[v_H - 1]
+            vp2, vt2, vo2, v_loss = value_update.core(
+                v_params, v_tgt, v_opt, v_stats, sg(x0), sg(sH),
+                sg(vret), v_noise)
+            v_end = V.apply(jax.tree_util.tree_map(sg, vp2), v_stats,
+                            sall[-1], v_noise, return_samples=True)
+            disc = disc + float(w_H) * v_end
+            aux = (vp2, vt2, vo2, v_loss)
+
+        loss = jnp.mean(disc)
+        if maximize:
+            loss = -loss
+        return loss, jnp.mean(raw), aux
+
+    return loss_fn
+
+
+def make_grid_value_and_grad(dyn, pol, steps, w_t, mm_states, mm_rewards,
+                             maximize, mm_groups=None, value_update=None,
+                             w_H=None, interpret=False):
+    """Grid-tier counterpart of :func:`make_fused_value_and_grad`."""
+    loss_fn = make_grid_loss(dyn, pol, steps, w_t, mm_states, mm_rewards,
+                             maximize, mm_groups=mm_groups,
+                             value_update=value_update, w_H=w_H,
+                             interpret=interpret)
+
+    def fused_vg(*args):
+        args = _norm_args(args)
+
+        def lf(pol_params):
+            loss, mret, aux = loss_fn(pol_params, *args[1:])
+            return loss, (mret, aux)
+
+        (loss, (mret, aux)), grads = jax.value_and_grad(
+            lf, has_aux=True)(args[0])
+        return loss, mret, grads, aux
 
     return fused_vg
 
@@ -1036,9 +1675,13 @@ def prepare_mm_noise(z, steps, B, mm_groups=None):
 # ---------------------------------------------------------------------------
 
 VMEM_BUDGET_BYTES = 68 * 1024 * 1024
+# measured grid-vs-XLA crossover for moment-matched configs (see
+# fused_mode): grid wins at B=1000, loses at B=2048 on v5e
+GRID_XLA_CROSSOVER_PARTICLES = 1536
 
 
-def vmem_bytes_estimate(cfg, dyn, pol, value_spec=None, remat=False):
+def vmem_bytes_estimate(cfg, dyn, pol, value_spec=None, remat=False,
+                        mode=None):
     """Estimated VMEM footprint of the backward kernel's in-kernel state.
 
     The backward kernel holds its linearization residuals on-chip (no HBM
@@ -1050,23 +1693,36 @@ def vmem_bytes_estimate(cfg, dyn, pol, value_spec=None, remat=False):
     (round-4 advisor finding: a width-blind particle-step cap under-gates
     wide --dyn_shape/--pol_shape configs).
 
-    With ``remat`` (in-kernel per-step gradient checkpointing) only ONE
-    step's residuals are ever live at a time, plus the T step-boundary
-    states — the footprint that admits B=4096 into the single-kernel
-    regime.
+    ``mode='remat'`` (whole-rollout kernel, in-kernel per-step gradient
+    checkpointing): one step's residuals live at a time plus the T
+    step-boundary states — but Mosaic's register allocator keeps the
+    unrolled steps' activations live anyway and spills them to VMEM
+    (measured: 200 MB of spill slots at B=1000), so the auto gate no
+    longer admits it (see :func:`fused_mode`). ``mode='step'`` (per-step
+    kernels under a scan): the working set really is one step's
+    activations for one recompute+vjp, at any batch size.
     """
+    if mode is None:
+        mode = 'remat' if remat else 'full'
     D_in = pol.mlp.input_dims
     U = pol.mlp.output_dims
     units = (sum(dyn.regressor.mlp.hidden_dims) + sum(pol.mlp.hidden_dims)
              + 4 * (D_in + U))
-    if remat:
+    if mode in ('step', 'grid'):
+        # one step's program in the bwd body (fwd recompute + vjp): the
+        # Mosaic stack arena measured 124.4 MB at B=4096 / default widths
+        # (units=824) -> ~37 B per particle-unit, no T scaling. Same body
+        # for 'step' and 'grid'.
+        total = cfg.n_particles * 37.0 * units
+    elif mode == 'remat':
         total = (cfg.n_particles * 14.0 * units
                  + 3 * cfg.steps * cfg.n_particles * 4.0 * (D_in + 1))
     else:
         total = cfg.n_particles * cfg.steps * 14.0 * units
-    if value_spec is not None:
+    if value_spec is not None and mode != 'step':
         # critic fwd+bwd residuals are per-particle (evaluated at s0/sT
-        # only), plus two extra param/opt-state copies
+        # only), plus two extra param/opt-state copies. In 'step' mode the
+        # critic refit runs as plain XLA between kernels — no kernel cost.
         total += cfg.n_particles * 3 * 14.0 * sum(
             value_spec.mlp.hidden_dims)
         total += 6 * 4.0 * sum(
@@ -1136,7 +1792,28 @@ def fused_mode(cfg, dyn, pol, value_update, mesh, value_spec=None):
     vspec = value_spec if value_update is not None else None
     if vmem_bytes_estimate(local, dyn, pol, vspec) <= VMEM_BUDGET_BYTES:
         return 'full'
-    if vmem_bytes_estimate(local, dyn, pol, vspec,
-                           remat=True) <= VMEM_BUDGET_BYTES:
-        return 'remat'
+    # NOT 'remat': the whole-rollout checkpointed kernel compiles only up
+    # to B*T ~ 4k at default widths (Mosaic's register allocator spills
+    # the unrolled steps' activations — 200 MB of VMEM spill slots at
+    # B=1000 — and the compile itself takes minutes). The grid tier's
+    # kernel body is ONE step's program (grid=(T,), carry in VMEM
+    # scratch), so liveness is bounded; 'step' (a scan of per-step
+    # kernels) has the same bound but pays ~30 us dispatch per launch,
+    # 30x per iteration, and stays force-only.
+    #
+    # The grid tier is admitted only for MOMENT-MATCHED configs below the
+    # measured XLA crossover: fusing the rollout wins by deleting the
+    # serial per-step MM chain's op latency, but Mosaic's matmul
+    # throughput on this body is below XLA's, so once XLA is
+    # compute-bound it wins. v5e measurements (cholesky-MM, f32, default
+    # widths): B=1000 grid 19.9M ps/s vs XLA 17.2M (grid wins the
+    # latency-bound gap above the 'full' tier); B=2048 grid 23.8M vs XLA
+    # 30.7M; B=4096 no-MM grid 30.3M vs XLA 71.7M (XLA wins
+    # compute-bound). Pure no-MM configs above the 'full' tier stay on
+    # the XLA path outright.
+    if ((cfg.mm_states or cfg.mm_rewards)
+            and local.n_particles <= GRID_XLA_CROSSOVER_PARTICLES
+            and vmem_bytes_estimate(
+                local, dyn, pol, vspec, mode='grid') <= VMEM_BUDGET_BYTES):
+        return 'grid'
     return None

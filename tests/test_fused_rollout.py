@@ -376,6 +376,257 @@ class TestFusedValueParity:
         assert err < 1e-4, err
 
 
+@pytest.mark.parametrize('mm', [True, False])
+class TestStepwiseParity:
+    # the large-batch production tier: one fused kernel PER STEP under a
+    # lax.scan (bounded VMEM at any B; replaces the compile-fragile
+    # whole-rollout remat kernel in the auto gate)
+    def test_stepwise_loss_and_grads_match_oracle(self, mm):
+        e = small_setup()
+        w_t, _ = discount_weights(None, e['T'])
+        fused = fr.make_fused_loss(e['dyn'], e['pol'], e['T'], w_t, mm, mm,
+                                   True, interpret=True, mode='step')
+        zmt, zrt = prep_noise(e, mm)
+
+        def f_loss(p, eps):
+            return fused(p, e['x0'], e['dyn_params'], e['stats'],
+                         e['dyn_noise'], e['pol_noise'], zmt, zrt, eps)[:2]
+
+        lf, mf = f_loss(e['pol_params'], e['eps'])
+        lr, mr = ref_loss(e, e['pol_params'], e['eps'], mm)
+        np.testing.assert_allclose(float(lf), float(lr), rtol=1e-5,
+                                   atol=1e-7)
+        np.testing.assert_allclose(float(mf), float(mr), rtol=1e-5,
+                                   atol=1e-7)
+        # grads wrt pol_params AND action_eps, through loss AND mean_return
+        # (the step custom_vjp chains state cotangents through the scan)
+        gf = jax.grad(lambda p, ee: sum(f_loss(p, ee)),
+                      argnums=(0, 1))(e['pol_params'], e['eps'])
+        gr = jax.grad(lambda p, ee: sum(ref_loss(e, p, ee, mm)),
+                      argnums=(0, 1))(e['pol_params'], e['eps'])
+        scale = jax.tree_util.tree_reduce(
+            max, jax.tree_util.tree_map(lambda a: float(jnp.abs(a).max()),
+                                        gr))
+        err = jax.tree_util.tree_reduce(
+            max, jax.tree_util.tree_map(
+                lambda a, b: float(jnp.abs(a - b).max()), gf, gr))
+        assert err < 1e-6 + 1e-3 * scale, (err, scale)
+
+    def test_stepwise_value_and_grad_matches_monolithic(self, mm):
+        e = small_setup()
+        w_t, _ = discount_weights(None, e['T'])
+        zmt, zrt = prep_noise(e, mm)
+        args = (e['pol_params'], e['x0'], e['dyn_params'], e['stats'],
+                e['dyn_noise'], e['pol_noise'], zmt, zrt, e['eps'])
+        out = {}
+        for mode in ('full', 'step'):
+            vg = fr.make_fused_value_and_grad(
+                e['dyn'], e['pol'], e['T'], w_t, mm, mm, True,
+                interpret=True, mode=mode)
+            loss, mret, grads, _ = vg(*args)
+            out[mode] = (float(loss), float(mret), grads)
+        np.testing.assert_allclose(out['step'][0], out['full'][0],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(out['step'][1], out['full'][1],
+                                   rtol=1e-5, atol=1e-7)
+        err = jax.tree_util.tree_reduce(
+            max, jax.tree_util.tree_map(
+                lambda a, b: float(jnp.abs(a - b).max()),
+                out['step'][2], out['full'][2]))
+        assert err < 1e-5, err
+
+
+@pytest.mark.parametrize('mm', [True, False])
+class TestGridParity:
+    # the grid tier: whole rollout as ONE pallas_call with grid=(T,) and
+    # the carry in VMEM scratch — 2 launches per loss+grad at any B
+    # (the per-step-kernel 'step' tier pays ~30 us dispatch per launch,
+    # 30x per iteration; the grid pays it twice)
+    def test_grid_loss_and_grads_match_oracle(self, mm):
+        e = small_setup()
+        w_t, _ = discount_weights(None, e['T'])
+        fused = fr.make_fused_loss(e['dyn'], e['pol'], e['T'], w_t, mm, mm,
+                                   True, interpret=True, mode='grid')
+        zmt, zrt = prep_noise(e, mm)
+
+        def f_loss(p, eps):
+            return fused(p, e['x0'], e['dyn_params'], e['stats'],
+                         e['dyn_noise'], e['pol_noise'], zmt, zrt, eps)[:2]
+
+        lf, mf = f_loss(e['pol_params'], e['eps'])
+        lr, mr = ref_loss(e, e['pol_params'], e['eps'], mm)
+        np.testing.assert_allclose(float(lf), float(lr), rtol=1e-5,
+                                   atol=1e-7)
+        np.testing.assert_allclose(float(mf), float(mr), rtol=1e-5,
+                                   atol=1e-7)
+        gf = jax.grad(lambda p, ee: sum(f_loss(p, ee)),
+                      argnums=(0, 1))(e['pol_params'], e['eps'])
+        gr = jax.grad(lambda p, ee: sum(ref_loss(e, p, ee, mm)),
+                      argnums=(0, 1))(e['pol_params'], e['eps'])
+        scale = jax.tree_util.tree_reduce(
+            max, jax.tree_util.tree_map(lambda a: float(jnp.abs(a).max()),
+                                        gr))
+        err = jax.tree_util.tree_reduce(
+            max, jax.tree_util.tree_map(
+                lambda a, b: float(jnp.abs(a - b).max()), gf, gr))
+        assert err < 1e-6 + 1e-3 * scale, (err, scale)
+
+    def test_grid_value_and_grad_matches_monolithic(self, mm):
+        e = small_setup()
+        w_t, _ = discount_weights(None, e['T'])
+        zmt, zrt = prep_noise(e, mm)
+        args = (e['pol_params'], e['x0'], e['dyn_params'], e['stats'],
+                e['dyn_noise'], e['pol_noise'], zmt, zrt, e['eps'])
+        out = {}
+        for mode in ('full', 'grid'):
+            vg = fr.make_fused_value_and_grad(
+                e['dyn'], e['pol'], e['T'], w_t, mm, mm, True,
+                interpret=True, mode=mode)
+            loss, mret, grads, _ = vg(*args)
+            out[mode] = (float(loss), float(mret), grads)
+        np.testing.assert_allclose(out['grid'][0], out['full'][0],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(out['grid'][1], out['full'][1],
+                                   rtol=1e-5, atol=1e-7)
+        err = jax.tree_util.tree_reduce(
+            max, jax.tree_util.tree_map(
+                lambda a, b: float(jnp.abs(a - b).max()),
+                out['grid'][2], out['full'][2]))
+        assert err < 1e-5, err
+
+
+class TestGridVariants:
+    def test_grid_grouped_matches_oracle(self):
+        e = small_setup(B=32)
+        G = 4
+        w_t, _ = discount_weights(None, e['T'])
+        fused = fr.make_fused_loss(e['dyn'], e['pol'], e['T'], w_t, True,
+                                   True, True, mm_groups=G, interpret=True,
+                                   mode='grid')
+        zmt, zrt = prep_noise(e, True, G)
+        lf = fused(e['pol_params'], e['x0'], e['dyn_params'], e['stats'],
+                   e['dyn_noise'], e['pol_noise'], zmt, zrt, e['eps'])[0]
+        lr, _ = ref_loss(e, e['pol_params'], e['eps'], True, groups=G)
+        np.testing.assert_allclose(float(lf), float(lr), rtol=1e-5,
+                                   atol=1e-7)
+
+    def test_grid_learned_reward_matches_oracle(self):
+        e = small_setup(learn_reward=True)
+        w_t, _ = discount_weights(None, e['T'])
+        zmt, zrt = prep_noise(e, True)
+        out = {}
+        for mode in ('full', 'grid'):
+            fused = fr.make_fused_loss(e['dyn'], e['pol'], e['T'], w_t,
+                                       True, True, True, interpret=True,
+                                       mode=mode)
+            out[mode] = float(fused(
+                e['pol_params'], e['x0'], e['dyn_params'], e['stats'],
+                e['dyn_noise'], e['pol_noise'], zmt, zrt, e['eps'])[0])
+        np.testing.assert_allclose(out['grid'], out['full'], rtol=1e-5,
+                                   atol=1e-7)
+
+    def test_grid_value_matches_monolithic(self):
+        e = small_setup()
+        w_t, w_H = discount_weights(None, e['T'])
+        V, update, state0 = _value_pieces(e, False)
+        zmt, zrt = prep_noise(e, False)
+        v_noise = V.sample_noise(jax.random.PRNGKey(9), (e['B'],))
+        extras = (state0['params'], state0['target'], state0['opt_state'],
+                  V.init_stats(), v_noise)
+        out = {}
+        for mode in ('full', 'grid'):
+            vg = fr.make_fused_value_and_grad(
+                e['dyn'], e['pol'], e['T'], w_t, False, False, True,
+                value_update=update, w_H=w_H, interpret=True, mode=mode)
+            loss, mret, grads, aux = vg(
+                e['pol_params'], e['x0'], e['dyn_params'], e['stats'],
+                e['dyn_noise'], e['pol_noise'], zmt, zrt, e['eps'], extras)
+            out[mode] = (float(loss), float(aux[3]),
+                         jax.tree_util.tree_map(np.asarray, aux[0]), grads)
+        np.testing.assert_allclose(out['grid'][0], out['full'][0],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(out['grid'][1], out['full'][1],
+                                   rtol=1e-5, atol=1e-6)
+        err = jax.tree_util.tree_reduce(
+            max, jax.tree_util.tree_map(
+                lambda a, b: float(np.abs(a - b).max()),
+                out['grid'][2], out['full'][2]))
+        assert err < 1e-5, err
+        gerr = jax.tree_util.tree_reduce(
+            max, jax.tree_util.tree_map(
+                lambda a, b: float(jnp.abs(a - b).max()),
+                out['grid'][3], out['full'][3]))
+        assert gerr < 1e-5, gerr
+
+
+class TestStepwiseVariants:
+    def test_stepwise_grouped_matches_oracle(self):
+        # B=32: group size > D keeps every group full-rank (see
+        # TestFusedGroupedParity for why degenerate groups need looser tols)
+        e = small_setup(B=32)
+        G = 4
+        w_t, _ = discount_weights(None, e['T'])
+        fused = fr.make_fused_loss(e['dyn'], e['pol'], e['T'], w_t, True,
+                                   True, True, mm_groups=G, interpret=True,
+                                   mode='step')
+        zmt, zrt = prep_noise(e, True, G)
+        lf = fused(e['pol_params'], e['x0'], e['dyn_params'], e['stats'],
+                   e['dyn_noise'], e['pol_noise'], zmt, zrt, e['eps'])[0]
+        lr, _ = ref_loss(e, e['pol_params'], e['eps'], True, groups=G)
+        np.testing.assert_allclose(float(lf), float(lr), rtol=1e-5,
+                                   atol=1e-7)
+
+    def test_stepwise_learned_reward_matches_oracle(self):
+        e = small_setup(learn_reward=True)
+        w_t, _ = discount_weights(None, e['T'])
+        zmt, zrt = prep_noise(e, True)
+        out = {}
+        for mode in ('full', 'step'):
+            fused = fr.make_fused_loss(e['dyn'], e['pol'], e['T'], w_t,
+                                       True, True, True, interpret=True,
+                                       mode=mode)
+            out[mode] = float(fused(
+                e['pol_params'], e['x0'], e['dyn_params'], e['stats'],
+                e['dyn_noise'], e['pol_noise'], zmt, zrt, e['eps'])[0])
+        np.testing.assert_allclose(out['step'], out['full'], rtol=1e-5,
+                                   atol=1e-7)
+
+    def test_stepwise_value_matches_monolithic(self):
+        # TD(H) critic refit: XLA-side in the step tier, in-kernel in the
+        # monolithic tier — same (loss, v_loss, critic params) either way
+        e = small_setup()
+        w_t, w_H = discount_weights(None, e['T'])
+        V, update, state0 = _value_pieces(e, False)
+        zmt, zrt = prep_noise(e, False)
+        v_noise = V.sample_noise(jax.random.PRNGKey(9), (e['B'],))
+        extras = (state0['params'], state0['target'], state0['opt_state'],
+                  V.init_stats(), v_noise)
+        out = {}
+        for mode in ('full', 'step'):
+            vg = fr.make_fused_value_and_grad(
+                e['dyn'], e['pol'], e['T'], w_t, False, False, True,
+                value_update=update, w_H=w_H, interpret=True, mode=mode)
+            loss, mret, grads, aux = vg(
+                e['pol_params'], e['x0'], e['dyn_params'], e['stats'],
+                e['dyn_noise'], e['pol_noise'], zmt, zrt, e['eps'], extras)
+            out[mode] = (float(loss), float(aux[3]),
+                         jax.tree_util.tree_map(np.asarray, aux[0]), grads)
+        np.testing.assert_allclose(out['step'][0], out['full'][0],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(out['step'][1], out['full'][1],
+                                   rtol=1e-5, atol=1e-6)
+        err = jax.tree_util.tree_reduce(
+            max, jax.tree_util.tree_map(
+                lambda a, b: float(np.abs(a - b).max()),
+                out['step'][2], out['full'][2]))
+        assert err < 1e-5, err
+        gerr = jax.tree_util.tree_reduce(
+            max, jax.tree_util.tree_map(
+                lambda a, b: float(jnp.abs(a - b).max()),
+                out['step'][3], out['full'][3]))
+        assert gerr < 1e-5, gerr
+
+
 class TestMCPILCOFusedIntegration:
     def test_opt_runs_and_matches_unfused(self):
         # one optimizer chunk with fused_rollout=True (interpret) vs False:
@@ -484,10 +735,12 @@ class TestSupportsGate:
         prod = small_setup(hidden=(200, 200))
         assert fr.fused_mode(ok, prod['dyn'], prod['pol'], None,
                              None) == 'full'
-        big = MCPILCOConfig(n_particles=4096, steps=15, **base)
+        big = MCPILCOConfig(n_particles=1024, steps=15, **base)
         assert fr.fused_mode(big, prod['dyn'], prod['pol'], None,
-                             None) == 'remat'
-        huge = MCPILCOConfig(n_particles=65536, steps=15, **base)
+                             None) == 'grid'
+        # above the measured grid-vs-XLA crossover the compute-bound XLA
+        # path wins (see fused_mode) — fall back
+        huge = MCPILCOConfig(n_particles=4096, steps=15, **base)
         assert fr.fused_mode(huge, prod['dyn'], prod['pol'], None,
                              None) is None
         # width-aware gate (round-4 advisor finding): the same B*T with
