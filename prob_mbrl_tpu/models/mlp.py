@@ -208,6 +208,17 @@ class MLPSpec:
                 K = self.sn_max_K * jax.nn.sigmoid(p['sn_scale'])
                 w = K * w / sigma
             if cdt is not None:
+                # bf16 END-TO-END: bf16 operands, f32 accumulate, and the
+                # caller narrows the epilogue back to bf16 so every
+                # fusion-boundary buffer between layers is half-width.
+                # Round-5 trace finding (BASELINE.md): at [B=4096, 200]
+                # widths these matmuls are bandwidth/fixed-cost bound, not
+                # MXU-pass bound — casting only the dot INPUTS (the old
+                # scheme, f32 boundaries) made the matmul fusions 17%
+                # SLOWER than plain f32 (the converts add traffic, the
+                # 3x-fewer MXU passes save nothing). The accumulator stays
+                # f32 (Mosaic requires 32-bit matmul acc in-kernel; XLA
+                # fuses the downcast into the epilogue either way).
                 h = jnp.dot(h.astype(cdt), w.astype(cdt),
                             preferred_element_type=jnp.float32)
             else:
@@ -216,27 +227,36 @@ class MLPSpec:
                 h = h + b
             return h
 
+        def renarrow(h):
+            # elementwise libs (dropout masks, LN params) are f32 and
+            # promote; re-narrow so the next fusion boundary stays cdt
+            return h.astype(cdt) if cdt is not None else h
+
         h = x
         if self.input_dropout is not None and noise is not None:
             h = self.input_dropout.apply(params.get('drop_in', {}),
                                          noise['drop_in'], h, train)
         for i, width in enumerate(self.hidden_dims):
-            h = linear(params[f'linear_{i}'], h)
+            h = renarrow(linear(params[f'linear_{i}'], h))
             if self.layer_norm:
+                # LN statistics in f32: bf16 mean/var over 100s of lanes
+                # loses ~2 decimal digits
+                h32 = h.astype(jnp.float32)
                 ln = params[f'ln_{i}']
-                mu = jnp.mean(h, -1, keepdims=True)
-                var = jnp.var(h, -1, keepdims=True)
-                h = (h - mu) * jax.lax.rsqrt(var + 1e-5)
-                h = h * ln['scale'] + ln['bias']
+                mu = jnp.mean(h32, -1, keepdims=True)
+                var = jnp.var(h32, -1, keepdims=True)
+                h32 = (h32 - mu) * jax.lax.rsqrt(var + 1e-5)
+                h = renarrow(h32 * ln['scale'] + ln['bias'])
             h = act_lib.get(self.nonlin[i])(h)
             spec = self.dropout[i]
             if spec is not None and noise is not None:
-                h = spec.apply(params.get(f'drop_{i}', {}),
-                               noise[f'drop_{i}'], h, train)
+                h = renarrow(spec.apply(params.get(f'drop_{i}', {}),
+                                        noise[f'drop_{i}'], h, train))
         h = linear(params['linear_out'], h)
         if self.output_nonlin is not None:
             h = act_lib.get(self.output_nonlin)(h)
-        return h
+        # head consumers (density math, stats scaling) run in f32
+        return h.astype(jnp.float32) if cdt is not None else h
 
     # ---- regularization ---------------------------------------------------
     def regularization_loss(self, params):

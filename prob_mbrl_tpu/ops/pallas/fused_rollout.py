@@ -1786,6 +1786,16 @@ def fused_mode(cfg, dyn, pol, value_update, mesh, value_spec=None):
             and cfg.reg_weight == 0.0
             and not cfg.with_priorities):
         return None
+    if (dyn.regressor.mlp.compute_dtype is not None
+            or pol.mlp.compute_dtype is not None):
+        # bf16 compute stays on the XLA path: Mosaic rejects sub-32-bit
+        # matmul accumulators and bf16 vector comparisons in-kernel
+        # ("Target does not support this comparison"), and bf16's win is
+        # the bandwidth-bound LARGE-batch regime where XLA already beats
+        # the fused tiers (B=4096 no-MM: 104.6M ps/s XLA bf16 end-to-end
+        # vs 30.3M fused-grid f32); the latency-bound small-B regime the
+        # fused tiers own measures bf16-neutral.
+        return None
     local = dataclasses.replace(
         cfg, n_particles=cfg.n_particles // n_shards,
         mm_groups=(cfg.mm_groups // n_shards if cfg.mm_groups else None))

@@ -186,6 +186,27 @@ def main():
         fr.fused_mode = orig
     ok &= check('loss', a['loss'], b_mm, atol=floor)
 
+    print('grid kernel (forced, B=100)', flush=True)
+    # the large-batch production tier: grid=(T,) pallas_call with the
+    # carry in VMEM scratch, reverse-grid backward. Validated here at
+    # checkable scale against the same XLA oracle; B=1000 is exercised by
+    # bench.py (auto-routed for MM configs above the 'full' tier).
+    try:
+        fr.fused_mode = lambda *a, **k: ('grid' if orig(*a, **k) else None)
+        a = run_cfg(e, _dc.replace(mm_cfg, rollout_unroll=3), True)
+    finally:
+        fr.fused_mode = orig
+    ok &= check('loss', a['loss'], b_mm, atol=floor)
+
+    print('step kernels (forced, B=100)', flush=True)
+    # per-step kernels under lax.scan (force-only tier)
+    try:
+        fr.fused_mode = lambda *a, **k: ('step' if orig(*a, **k) else None)
+        a = run_cfg(e, _dc.replace(mm_cfg, rollout_unroll=4), True)
+    finally:
+        fr.fused_mode = orig
+    ok &= check('loss', a['loss'], b_mm, atol=floor)
+
     print('with-value (TD(H) critic in-kernel)', flush=True)
     # untrained-critic magnitudes are large (|loss| ~ 3, v_loss ~ 85), so
     # the Mosaic-transcendental offset shows up at ~0.3% RELATIVE here
