@@ -129,8 +129,11 @@ class MCPILCOConfig:
     # otherwise lowers to ~1600 leaf HLO ops whose per-op overhead dominates
     # at small particle counts. Covers cholesky-MM / no-MM / grouped MM /
     # learned rewards / the TD(H) value bootstrap / shard_map meshes
-    # (see fused_rollout.fused_mode); large batches ride a per-step-remat
-    # variant of the same kernel. None = auto (on when the configuration is
+    # (see fused_rollout.fused_mode); mid-size MM batches ride a
+    # grid-pipelined tier (grid=(T,), VMEM-scratch carry), while
+    # compute-bound large batches and bf16 configs deliberately take the
+    # XLA path, which measures faster there (BASELINE.md round-5
+    # section). None = auto (on when the configuration is
     # supported and the backend is a TPU); True forces it (interpret-mode on
     # CPU — slow, for tests); False disables.
     fused_rollout: Optional[bool] = None
