@@ -730,8 +730,22 @@ class TestSupportsGate:
         base = dict(mm_states=True, mm_rewards=True)
         ok = MCPILCOConfig(n_particles=100, steps=15, **base)
         assert fr.supports(ok, e['dyn'], e['pol'], None, None)
+        # bf16 compute stays on the XLA path (Mosaic rejects sub-32-bit
+        # matmul acc / bf16 vector compares in-kernel; see fused_mode)
+        bf = small_setup()
+        import dataclasses as dc
+        bf_pol = dc.replace(bf['pol'],
+                            mlp=dc.replace(bf['pol'].mlp,
+                                           compute_dtype='bfloat16'))
+        assert fr.fused_mode(ok, bf['dyn'], bf_pol, None, None) is None
+        # pure no-MM above the 'full' tier stays on XLA (compute-bound
+        # matmul chain — XLA measures 2.4x faster than the grid kernel)
+        nomm_big = MCPILCOConfig(n_particles=1024, steps=15)
+        prod0 = small_setup(hidden=(200, 200))
+        assert fr.fused_mode(nomm_big, prod0['dyn'], prod0['pol'], None,
+                             None) is None
         # VMEM tiers at PRODUCTION widths: small B rides the full-residual
-        # kernel, B=4096 the remat kernel, absurd B falls back to XLA
+        # kernel, mid-size MM batches the grid kernel, large B falls back
         prod = small_setup(hidden=(200, 200))
         assert fr.fused_mode(ok, prod['dyn'], prod['pol'], None,
                              None) == 'full'
