@@ -345,6 +345,16 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
             z_rr = constrain_particles(z_rr)
         return (dyn_noise, pol_noise, value_noise, z_mm, z_rr)
 
+    # The only consumers of PER-PARTICLE resampled rewards in this loss are
+    # the CVaR filter and the TD(H) critic refit's targets; with both off the
+    # loss reduces rewards with a plain particle mean, which the MM resample
+    # leaves invariant (standardized z has exact zero particle-mean), so the
+    # XLA path can take the analytic mean-only shortcut — see
+    # utils.rollout._mm_rewards_batched (30% of device busy time at B=4096).
+    _cvar_active = (-1.0 < cfg.cvar_eps < 1.0) and cfg.cvar_eps != 0.0
+    _mr_mean_only = (cfg.mm_rewards and value_update is None
+                     and not _cvar_active and not cfg.infer_noise_variables)
+
     def loss_fn(pol_params, action_eps, x0, dyn_params, dyn_stats, noise,
                 step_key, value_params, value_stats, value_carry):
         dyn_noise, pol_noise, value_noise, z_mm, z_rr = noise
@@ -377,7 +387,8 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
             resample_action_noise=not cfg.pegasus,
             key=step_key, action_eps=action_eps,
             unroll=(cfg.rollout_unroll if cfg.rollout_unroll is not None
-                    else (cfg.steps if cfg.steps <= 16 else 1)))
+                    else (cfg.steps if cfg.steps <= 16 else 1)),
+            mm_rewards_mean_only=_mr_mean_only)
         states, actions, rewards = traj[:3]
         sg = jax.lax.stop_gradient
 

@@ -1821,7 +1821,18 @@ def fused_mode(cfg, dyn, pol, value_update, mesh, value_spec=None):
     # 30.7M; B=4096 no-MM grid 30.3M vs XLA 71.7M (XLA wins
     # compute-bound). Pure no-MM configs above the 'full' tier stay on
     # the XLA path outright.
+    # Round-5 re-calibration: when the XLA path can take the reward-MM
+    # mean-only shortcut (utils.rollout._mm_rewards_batched — valid exactly
+    # when no TD critic refit consumes per-particle rewards; CVaR and
+    # infer_noise_variables are already gated off above), it beats the grid
+    # tier at EVERY batch above the 'full' tier (v5e, cholesky-MM f32:
+    # B=512 XLA 14.5M vs grid 12.9M; B=1000 XLA 25.2M vs grid 19.1M), so
+    # those configs route to XLA. The grid tier keeps the regime where the
+    # XLA path must run the full [T, B, 1] reward resample chain (critic
+    # refit on) or where there is no reward MM to shortcut (mm_states-only).
+    xla_has_mean_only_shortcut = cfg.mm_rewards and value_update is None
     if ((cfg.mm_states or cfg.mm_rewards)
+            and not xla_has_mean_only_shortcut
             and local.n_particles <= GRID_XLA_CROSSOVER_PARTICLES
             and vmem_bytes_estimate(
                 local, dyn, pol, vspec, mode='grid') <= VMEM_BUDGET_BYTES):

@@ -91,13 +91,38 @@ def _mm_mix(x, U, mm_groups, shift=None):
 
 
 def _mm_rewards_batched(rewards, z_rr, steps, B, mm_groups,
-                        infer_noise_variables, mm_method):
+                        infer_noise_variables, mm_method, mean_only=False):
     """Reward moment matching vectorized over the whole horizon.
 
     Rewards never re-enter the state recursion, so their per-step MM resample
     (`rollout.py:146-150`) has no sequential dependency — apply it to the
     full [T, B, 1] stack at once with the per-step fixed noise.
+
+    ``mean_only``: analytic shortcut for consumers that only ever reduce the
+    resampled rewards with a plain particle mean (the MC-PILCO loss with CVaR
+    off and no TD critic refit). The resample is ``m + z @ chol(S)^T`` with
+    ``z`` standardized to EXACT zero particle-mean, so its particle mean is
+    ``m`` and the loss gradient through the ``chol(S)`` branch is scaled by
+    ``mean(z) = 0`` — value and gradients of any particle-mean functional are
+    unchanged (to float rounding) if the resample is replaced by its per-step
+    (per-group) mean broadcast. The full [T, B, 1] resample chain is pure
+    per-op overhead at large B (measured 30% of device busy time at B=4096
+    cholesky — ``results/profile_b4096_chol_digest.md``); the shortcut
+    measured 33.1M -> 40.2M particle-steps/s there. Callers gate it on the
+    loss actually being a plain mean (`algorithms/mc_pilco.py`); the mix
+    method preserves particle means exactly as well (U @ 1 = 1), so the
+    shortcut is valid for every mm_method, but it is skipped under
+    ``infer_noise_variables`` (identity-preserving semantics are the point
+    of that variant).
     """
+    if mean_only and not infer_noise_variables:
+        if mm_groups is not None:
+            D = rewards.shape[-1]
+            g = rewards.reshape(steps, mm_groups, -1, D)
+            m = jnp.mean(g, -2, keepdims=True)
+            return jnp.broadcast_to(m, g.shape).reshape(rewards.shape)
+        m = jnp.mean(rewards, -2, keepdims=True)
+        return jnp.broadcast_to(m, rewards.shape)
     if mm_method == 'mix' and not infer_noise_variables:
         if _mix_is_per_step(z_rr, steps, mm_groups):
             # batched matmul over the whole horizon
@@ -133,7 +158,7 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
             z_mm=None, z_rr=None, mm_groups=None, mm_method='cholesky',
             resample_state_noise=False, resample_action_noise=False,
             key=None, value_fn=None, q_fn=None, action_eps=None,
-            unroll=1):
+            unroll=1, mm_rewards_mean_only=False):
     """Roll imagined particles through the learned dynamics under the policy.
 
     Args:
@@ -154,6 +179,11 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
       z_rr: fixed MM noise for rewards (shapes as above with D=1); required
         if mm_rewards.
       mm_groups: number of independent MM groups (None = all particles).
+      mm_rewards_mean_only: replace the reward MM resample with its exact
+        per-step (per-group) particle mean — valid ONLY when every consumer
+        reduces rewards with a plain particle mean (see
+        ``_mm_rewards_batched``; `algorithms/mc_pilco.py` gates this on CVaR
+        and the TD critic refit being off).
       mm_method: 'cholesky' = reference-exact ``m + z @ chol(S)^T``
         (`rollout.py:20-29`); 'mix' = TPU-native orthogonal particle mixing
         ``m + U @ (x - m)`` (exact moments, single MXU matmul, no Cholesky
@@ -296,7 +326,8 @@ def rollout(x0, dyn, pol, steps, dyn_params, dyn_stats, pol_params,
         rewards = traj['rewards']
     if mm_rewards:
         rewards = _mm_rewards_batched(rewards, z_rr, steps, B, mm_groups,
-                                      infer_noise_variables, mm_method)
+                                      infer_noise_variables, mm_method,
+                                      mean_only=mm_rewards_mean_only)
 
     result = [states, traj['actions'], rewards]
     if value_fn is not None:

@@ -749,8 +749,17 @@ class TestSupportsGate:
         prod = small_setup(hidden=(200, 200))
         assert fr.fused_mode(ok, prod['dyn'], prod['pol'], None,
                              None) == 'full'
+        # round-5 re-calibration: with CVaR off and no critic refit the XLA
+        # path takes the reward-MM mean-only shortcut and beats the grid
+        # tier at every batch above 'full' (B=512: 14.5M vs 12.9M; B=1000:
+        # 25.2M vs 19.1M) — these configs now route to XLA
         big = MCPILCOConfig(n_particles=1024, steps=15, **base)
         assert fr.fused_mode(big, prod['dyn'], prod['pol'], None,
+                             None) is None
+        # ...but the grid tier keeps mm_states-only configs (no reward MM
+        # to shortcut on the XLA side)
+        big_so = MCPILCOConfig(n_particles=1024, steps=15, mm_states=True)
+        assert fr.fused_mode(big_so, prod['dyn'], prod['pol'], None,
                              None) == 'grid'
         # above the measured grid-vs-XLA crossover the compute-bound XLA
         # path wins (see fused_mode) — fall back

@@ -300,3 +300,60 @@ class TestSmallCholesky:
             np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                        rtol=2e-3, atol=1e-5)
 
+
+
+class TestMMRewardsMeanOnly:
+    """The analytic mean-only shortcut for the reward MM resample.
+
+    ``m + z @ chol(S)^T`` with z standardized to exact zero particle-mean is
+    invisible — in value AND gradient — to any plain particle-mean reduction
+    of the rewards, so `mc_pilco` (CVaR off, no TD critic refit) replaces the
+    whole [T, B, 1] resample chain with its per-step mean broadcast
+    (30% of device busy time at B=4096 cholesky, BASELINE.md round 5).
+    """
+
+    def _loss(self, rewards, z_rr, T, B, groups, mean_only):
+        from prob_mbrl_tpu.utils.rollout import _mm_rewards_batched
+        out = _mm_rewards_batched(rewards, z_rr, T, B, groups, False,
+                                  'cholesky', mean_only=mean_only)
+        w = jnp.asarray(0.9 ** np.arange(T), out.dtype)
+        return jnp.mean(jnp.sum(out[..., 0] * w[:, None], 0))
+
+    @pytest.mark.parametrize('groups', [None, 4])
+    def test_value_and_grad_match_full_resample(self, groups):
+        T, B = 7, 64
+        rewards = (0.5 * jax.random.normal(jax.random.PRNGKey(0), (T, B, 1))
+                   + 1.0)
+        z_rr = jax.random.normal(jax.random.PRNGKey(1), (B, 1))
+        lf, gf = jax.value_and_grad(
+            lambda r: self._loss(r, z_rr, T, B, groups, False))(rewards)
+        lm, gm = jax.value_and_grad(
+            lambda r: self._loss(r, z_rr, T, B, groups, True))(rewards)
+        np.testing.assert_allclose(float(lf), float(lm), rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gm),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_mean_only_is_constant_across_particles(self):
+        T, B = 3, 16
+        rewards = jax.random.normal(jax.random.PRNGKey(2), (T, B, 1))
+        z_rr = jax.random.normal(jax.random.PRNGKey(3), (B, 1))
+        from prob_mbrl_tpu.utils.rollout import _mm_rewards_batched
+        out = _mm_rewards_batched(rewards, z_rr, T, B, None, False,
+                                  'cholesky', mean_only=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.broadcast_to(
+                np.mean(np.asarray(rewards), 1, keepdims=True), out.shape),
+            rtol=1e-6)
+
+    def test_infer_noise_variables_bypasses_shortcut(self):
+        # identity-preserving MM must keep per-particle values
+        T, B = 3, 16
+        rewards = jax.random.normal(jax.random.PRNGKey(4), (T, B, 1))
+        z_rr = jax.random.normal(jax.random.PRNGKey(5), (B, 1))
+        from prob_mbrl_tpu.utils.rollout import _mm_rewards_batched
+        out = _mm_rewards_batched(rewards, z_rr, T, B, None, True,
+                                  'cholesky', mean_only=True)
+        # infer_ns rebuilds each particle exactly (value-identity)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(rewards),
+                                   rtol=1e-4, atol=1e-5)
