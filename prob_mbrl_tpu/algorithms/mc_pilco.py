@@ -256,10 +256,21 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
                           'supported by the fused kernel (see '
                           'ops.pallas.fused_rollout.supports); falling back '
                           'to the XLA rollout path.', stacklevel=2)
+    # The only consumers of PER-PARTICLE resampled rewards in this loss are
+    # the CVaR filter and the TD(H) critic refit's targets; with both off the
+    # loss reduces rewards with a plain particle mean, which the MM resample
+    # leaves invariant (standardized z has exact zero particle-mean), so both
+    # the XLA path and the fused kernel take the analytic mean-only shortcut
+    # — see utils.rollout._mm_rewards_batched (30% of device busy time at
+    # B=4096 cholesky; +8% on the fused B=100 headline).
+    _cvar_active = (-1.0 < cfg.cvar_eps < 1.0) and cfg.cvar_eps != 0.0
+    _mr_mean_only = (cfg.mm_rewards and value_update is None
+                     and not _cvar_active and not cfg.infer_noise_variables)
     _fr_kwargs = dict(mm_groups=cfg.mm_groups,
                       value_update=value_update, w_H=w_H,
                       mode=_fused_mode,
-                      interpret=not _on_tpu)
+                      interpret=not _on_tpu,
+                      mm_rewards_mean_only=_mr_mean_only)
     fused_loss = (_fr.make_fused_loss(dyn, pol, cfg.steps, w_t,
                                       cfg.mm_states, cfg.mm_rewards,
                                       cfg.maximize, **_fr_kwargs)
@@ -273,7 +284,8 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
             dyn, pol, cfg.steps, w_t, cfg.mm_states, cfg.mm_rewards,
             cfg.maximize, mesh=mesh, particle_axis=particle_axis,
             mm_groups=cfg.mm_groups, mode=_fused_mode,
-            interpret=not _on_tpu)
+            interpret=not _on_tpu,
+            mm_rewards_mean_only=_mr_mean_only)
     elif _use_fused:
         fused_vg = _fr.make_fused_value_and_grad(
             dyn, pol, cfg.steps, w_t, cfg.mm_states, cfg.mm_rewards,
@@ -344,16 +356,6 @@ def make_mc_pilco_fn(dyn, pol, config, optimizer, value_spec=None,
             z_mm = constrain_particles(z_mm)
             z_rr = constrain_particles(z_rr)
         return (dyn_noise, pol_noise, value_noise, z_mm, z_rr)
-
-    # The only consumers of PER-PARTICLE resampled rewards in this loss are
-    # the CVaR filter and the TD(H) critic refit's targets; with both off the
-    # loss reduces rewards with a plain particle mean, which the MM resample
-    # leaves invariant (standardized z has exact zero particle-mean), so the
-    # XLA path can take the analytic mean-only shortcut — see
-    # utils.rollout._mm_rewards_batched (30% of device busy time at B=4096).
-    _cvar_active = (-1.0 < cfg.cvar_eps < 1.0) and cfg.cvar_eps != 0.0
-    _mr_mean_only = (cfg.mm_rewards and value_update is None
-                     and not _cvar_active and not cfg.infer_noise_variables)
 
     def loss_fn(pol_params, action_eps, x0, dyn_params, dyn_stats, noise,
                 step_key, value_params, value_stats, value_carry):

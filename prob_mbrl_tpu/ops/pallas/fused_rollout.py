@@ -471,7 +471,7 @@ def _inline_checkpoint(fn):
 
 def make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
                    mm_groups=None, value_update=None, w_H=None,
-                   remat=False):
+                   remat=False, mm_rewards_mean_only=False):
     """Build ``impl(pol_params, x0, dyn_params, dyn_stats, dyn_noise,
     pol_noise, z_mm_t, z_rr_t, action_eps, extras) -> (loss, mean_return,
     aux)``.
@@ -498,6 +498,14 @@ def make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
     """
     w_list = [float(w) for w in np.asarray(w_t)]
     learn_reward = dyn.reward_func is None
+    # Reward-MM mean-only shortcut (same invariance as
+    # utils.rollout._mm_rewards_batched): valid only when nothing observes
+    # per-particle rewards — the in-kernel TD(H) critic refit does, so the
+    # flag is force-cleared with value_update (defensive; mc_pilco's gate
+    # already excludes it). Default OFF keeps every directly-constructed
+    # kernel reference-exact (parity records stay bitwise stable).
+    mm_rewards_mean_only = (mm_rewards_mean_only and mm_rewards
+                            and value_update is None)
     if value_update is not None:
         v_wlist = [float(w) for w in np.asarray(value_update.w_t)]
         v_H = value_update.H
@@ -518,7 +526,7 @@ def make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
         cache = {}
         if mm_states or mm_rewards:
             dims = ([x0.shape[-1]] if mm_states else []) \
-                + ([1] if mm_rewards else [])
+                + ([1] if mm_rewards and not mm_rewards_mean_only else [])
             for d_ in dims:
                 if mm_groups:
                     _grouped_consts(B, d_, mm_groups, cache)
@@ -526,6 +534,11 @@ def make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
                     _cholpackT_consts(d_, mm_groups, 8, jitters, cache)
                 else:
                     _safe_cholesky_kf(jnp.zeros((d_, d_)), cache=cache)
+        if mm_rewards_mean_only and mm_groups:
+            gs = B // mm_groups
+            cache[('r_gmean',)] = jnp.asarray(
+                np.kron(np.eye(mm_groups), np.ones((gs, gs)) / gs),
+                x0.dtype)
         # accumulators stay [B, 1]: Mosaic rejects 1-D vector layouts
         disc = jnp.zeros((B, 1), x0.dtype)
         raw = jnp.zeros((B, 1), x0.dtype)
@@ -567,7 +580,17 @@ def make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
             if mm_states:
                 nxt = resample(nxt, z_mm_s, cache)
             if mm_rewards:
-                r = resample(r, z_rr_s, cache)
+                if mm_rewards_mean_only:
+                    # the resample's exact particle mean; per-group means
+                    # via one [B, B] block-diagonal averaging matmul
+                    # (Mosaic-friendly: stays 2-D, no reshapes)
+                    if mm_groups:
+                        r = jnp.matmul(cache[('r_gmean',)], r)
+                    else:
+                        r = jnp.broadcast_to(
+                            jnp.mean(r, 0, keepdims=True), r.shape)
+                else:
+                    r = resample(r, z_rr_s, cache)
             return nxt, r
 
         if remat:
@@ -735,7 +758,8 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 
 def make_fused_loss(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
                     mm_groups=None, value_update=None, w_H=None,
-                    remat=False, interpret=False, mode=None):
+                    remat=False, interpret=False, mode=None,
+                    mm_rewards_mean_only=False):
     """Build the pallas-fused (loss, mean_return, aux) function, custom VJP.
 
     Returns ``fused(pol_params, x0, dyn_params, dyn_stats, dyn_noise,
@@ -767,7 +791,8 @@ def make_fused_loss(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
     impl = make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards,
                           maximize, mm_groups=mm_groups,
                           value_update=value_update, w_H=w_H,
-                          remat=mode == 'remat')
+                          remat=mode == 'remat',
+                          mm_rewards_mean_only=mm_rewards_mean_only)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
@@ -881,7 +906,7 @@ def make_fused_loss(dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
 def make_fused_value_and_grad(dyn, pol, steps, w_t, mm_states, mm_rewards,
                               maximize, mm_groups=None, value_update=None,
                               w_H=None, remat=False, interpret=False,
-                              mode=None):
+                              mode=None, mm_rewards_mean_only=False):
     """ONE kernel per optimizer iteration: (loss, mean_return, grads, aux).
 
     ``jax.value_and_grad`` over the custom-vjp pair runs TWO kernels (a
@@ -911,7 +936,8 @@ def make_fused_value_and_grad(dyn, pol, steps, w_t, mm_states, mm_rewards,
     impl = make_loss_impl(dyn, pol, steps, w_t, mm_states, mm_rewards,
                           maximize, mm_groups=mm_groups,
                           value_update=value_update, w_H=w_H,
-                          remat=mode == 'remat')
+                          remat=mode == 'remat',
+                          mm_rewards_mean_only=mm_rewards_mean_only)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -985,7 +1011,7 @@ def make_fused_sharded_value_and_grad(dyn, pol, steps, w_t, mm_states,
                                       mm_rewards, maximize, mesh,
                                       particle_axis, mm_groups=None,
                                       remat=False, interpret=False,
-                                      mode=None):
+                                      mode=None, mm_rewards_mean_only=False):
     """Compose the fused kernel with a device mesh: shard_map over particles.
 
     Composition contract (from the reference's own grouped-MM semantics,
@@ -1019,7 +1045,8 @@ def make_fused_sharded_value_and_grad(dyn, pol, steps, w_t, mm_states,
     g_local = mm_groups // n_dev if mm_groups else None
     local_vg = make_fused_value_and_grad(
         dyn, pol, steps, w_t, mm_states, mm_rewards, maximize,
-        mm_groups=g_local, remat=remat, interpret=interpret, mode=mode)
+        mm_groups=g_local, remat=remat, interpret=interpret, mode=mode,
+        mm_rewards_mean_only=mm_rewards_mean_only)
 
     def _local(pol_params, x0, dyn_params, dyn_stats, dyn_noise, pol_noise,
                z_mm_t, z_rr_t, action_eps, extras):

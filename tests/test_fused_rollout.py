@@ -810,3 +810,75 @@ class TestSupportsGate:
         # learned reward (no analytic fn) IS fused since round 5
         el = small_setup(learn_reward=True)
         assert fr.supports(ok, el['dyn'], el['pol'], None, None)
+
+
+class TestFusedMeanOnlyRewardMM:
+    """In-kernel reward-MM mean-only shortcut (round 5, BASELINE.md).
+
+    Same invariance as utils.rollout._mm_rewards_batched: with the loss a
+    plain particle mean, replacing the reward resample by its per-step
+    (per-group) mean changes nothing observable. The kernel flag defaults
+    OFF (directly-constructed kernels stay reference-exact); mc_pilco turns
+    it on when CVaR and the TD critic refit are off. Measured on-chip:
+    headline B=100 cholesky 5.17M -> 5.61M ps/s.
+    """
+
+    def _xla_mean_only_loss(self, e, pol_params, eps, groups=None):
+        traj = rollout(e['x0'], e['dyn'], e['pol'], e['T'], e['dyn_params'],
+                       e['stats'], pol_params, e['dyn_noise'],
+                       e['pol_noise'], mm_states=True, mm_rewards=True,
+                       z_mm=e['z_mm'], z_rr=e['z_rr'], mm_groups=groups,
+                       action_eps=eps, unroll=e['T'],
+                       mm_rewards_mean_only=True)
+        rewards = traj[2]
+        w_t, _ = discount_weights(None, e['T'])
+        return -jnp.mean((rewards[..., 0] * w_t[:, None]).sum(0))
+
+    @pytest.mark.parametrize('groups', [None, 4])
+    def test_interpret_parity_vs_xla_mean_only(self, groups):
+        # B=32 keeps every group's covariance full-rank (see
+        # TestFusedGroupedParity: degenerate groups escalate to
+        # jitter-dominated factors where reassociation noise dominates)
+        e = small_setup(B=32 if groups else 16)
+        w_t, _ = discount_weights(None, e['T'])
+        fused = fr.make_fused_loss(e['dyn'], e['pol'], e['T'], w_t, True,
+                                   True, True, mm_groups=groups,
+                                   interpret=True,
+                                   mm_rewards_mean_only=True)
+        zmt, zrt = prep_noise(e, True, groups)
+
+        def f_loss(p):
+            return fused(p, e['x0'], e['dyn_params'], e['stats'],
+                         e['dyn_noise'], e['pol_noise'], zmt, zrt,
+                         e['eps'])[0]
+
+        lf = f_loss(e['pol_params'])
+        lr = self._xla_mean_only_loss(e, e['pol_params'], e['eps'], groups)
+        np.testing.assert_allclose(float(lf), float(lr), rtol=1e-5,
+                                   atol=1e-7)
+        gf = jax.grad(f_loss)(e['pol_params'])
+        gr = jax.grad(lambda p: self._xla_mean_only_loss(
+            e, p, e['eps'], groups))(e['pol_params'])
+        scale = jax.tree_util.tree_reduce(
+            max, jax.tree_util.tree_map(lambda a: float(jnp.abs(a).max()),
+                                        gr))
+        err = jax.tree_util.tree_reduce(
+            max, jax.tree_util.tree_map(
+                lambda a, b: float(jnp.abs(a - b).max()), gf, gr))
+        assert err < 1e-6 + 1e-3 * scale, (err, scale)
+
+    def test_mean_only_close_to_full_resample(self):
+        # the shortcut's loss equals the full-resample loss to float noise
+        e = small_setup()
+        w_t, _ = discount_weights(None, e['T'])
+        fused_on = fr.make_fused_loss(e['dyn'], e['pol'], e['T'], w_t, True,
+                                      True, True, interpret=True,
+                                      mm_rewards_mean_only=True)
+        fused_off = fr.make_fused_loss(e['dyn'], e['pol'], e['T'], w_t,
+                                       True, True, True, interpret=True)
+        zmt, zrt = prep_noise(e, True)
+        args = (e['pol_params'], e['x0'], e['dyn_params'], e['stats'],
+                e['dyn_noise'], e['pol_noise'], zmt, zrt, e['eps'])
+        np.testing.assert_allclose(float(fused_on(*args)[0]),
+                                   float(fused_off(*args)[0]),
+                                   rtol=1e-5, atol=1e-5)
